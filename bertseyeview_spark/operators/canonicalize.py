@@ -1,0 +1,251 @@
+"""E5 — entity canonicalization: merge duplicate entity ids.
+
+Reference analogue: curation merges/renames driven by
+input/global/curate_annotations.json through apoc.refactor.mergeNodes
+(shared/helper/neo4j_helper.py:803-880) — a hand-written (from -> to)
+map applied node-at-a-time. The scalable generalization (north rule) is:
+
+1. build *merge-candidate pairs* from (a) explicit curation rules,
+   (b) entity ids sharing an alias AND embedding-similar, and
+   (c) an LSH-bucketed embedding similarity self-join (random
+   hyperplane signatures -> band buckets -> within-bucket cosine);
+2. run **connected components** over the pair graph (iterative
+   min-label propagation on DataFrames, the public "hash-to-min"
+   scheme; ``localCheckpoint`` per iteration truncates lineage);
+3. canonical id = lexicographically smallest member of each component
+   (deterministic across parallelism levels);
+4. remap the edge table through the resulting (entity_id ->
+   canonical_id) map with two left joins + ``coalesce``.
+
+Note sharing a surface alone is NOT merge-worthy — truly ambiguous
+aliases (one surface, two different real-world entities, e.g. disease
+ALS vs gene ALR) must stay separate, hence the embedding-similarity
+conjunct in (b).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_N_PLANES = 16  # LSH signature bits
+_N_BANDS = 4    # 4 bands x 4 bits
+
+
+def curation_pairs(curation_rules: DataFrame) -> DataFrame:
+    """curation_rules(method, from_id, to_id) -> undirected pair rows (a, b)."""
+    return (
+        curation_rules.where(F.col("method").isin("merge", "rename"))
+        .select(F.col("from_id").alias("a"), F.col("to_id").alias("b"))
+    )
+
+
+def _lsh_signature_df(entities: DataFrame, seed: int = 7) -> DataFrame:
+    """entity (entity_id, embedding:array<double>) -> one row per band:
+    (entity_id, band, sig). Random hyperplanes are seeded-deterministic
+    and generated identically on every worker."""
+    fields = "entity_id string, band int, sig int, embedding array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dim = None
+        planes = None
+        for pdf in batches:
+            ids, bands, sigs, embs = [], [], [], []
+            for eid, emb in zip(pdf["entity_id"], pdf["embedding"]):
+                v = np.asarray(emb, dtype=np.float64)
+                if planes is None:
+                    dim = len(v)
+                    rng = np.random.RandomState(seed)
+                    planes = rng.standard_normal((_N_PLANES, dim))
+                bits = (planes @ v) > 0
+                per_band = _N_PLANES // _N_BANDS
+                for b in range(_N_BANDS):
+                    chunk = bits[b * per_band : (b + 1) * per_band]
+                    sig = int(sum(int(x) << i for i, x in enumerate(chunk)))
+                    ids.append(eid)
+                    bands.append(b)
+                    sigs.append(sig)
+                    embs.append(list(v))
+            yield pd.DataFrame(
+                {
+                    "entity_id": pd.Series(ids, dtype="object"),
+                    "band": pd.Series(bands, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int32"),
+                    "embedding": pd.Series(embs, dtype="object"),
+                }
+            )
+
+    return entities.mapInPandas(run, schema=fields)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def similarity_pairs(
+    alias_dict: DataFrame, threshold: float = 0.90, use_lsh: bool = True
+) -> DataFrame:
+    """Merge-candidate pairs among canonical entity ids.
+
+    (b) same-alias + cosine >= threshold;
+    (c) LSH-banded embedding self-join + cosine >= threshold
+        (same entity under two namespaces usually has no shared alias).
+
+    Embeddings in the dictionary are unit-norm, so cosine == dot.
+    At 10^8 dictionary entries the LSH path shuffles only
+    (band, sig)-bucketed candidates instead of the full cross join.
+    """
+    ents = (
+        alias_dict.where(F.col("entity_id") != "Null")
+        .select("alias", "entity_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+
+    # (b) shared alias
+    l = ents.select("alias", F.col("entity_id").alias("a"), F.col("emb").alias("ea"))
+    r = ents.select("alias", F.col("entity_id").alias("b"), F.col("emb").alias("eb"))
+    shared = (
+        l.join(r, "alias")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim", _dot("ea", "eb"))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b")
+    )
+    if not use_lsh:
+        return shared.dropDuplicates()
+
+    # (c) LSH over one representative embedding per entity id
+    reps = (
+        ents.groupBy("entity_id")
+        .agg(F.min_by("emb", "alias").alias("embedding"))
+        .select("entity_id", "embedding")
+    )
+    sigs = _lsh_signature_df(reps)
+    sl = sigs.select(
+        "band", "sig", F.col("entity_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    sr = sigs.select(
+        "band", "sig", F.col("entity_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    lsh = (
+        sl.join(sr, ["band", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("sim", _dot("ea", "eb"))
+        .where(F.col("sim") >= threshold)
+        .select("a", "b")
+    )
+    return shared.unionByName(lsh).dropDuplicates()
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Undirected pair rows (a, b) -> (entity_id, canonical_id).
+
+    Iterative min-label propagation: comp(v) <- min(comp(v),
+    min_{u ~ v} comp(u)) until fixpoint; converges in O(diameter)
+    rounds (entity-duplicate clusters are tiny, so 2-4 rounds in
+    practice). Each round is one shuffle; ``localCheckpoint`` cuts the
+    lineage so round k doesn't replay rounds 1..k-1. Canonical = min
+    string id in the component — deterministic regardless of
+    partitioning, so local[8] == local[32].
+    """
+    edges = (
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates()
+        .persist()
+    )
+    comp = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(comp, edges["b"] == comp["id"])
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_comp = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp.select(
+        F.col("id").alias("entity_id"), F.col("comp").alias("canonical_id")
+    )
+
+
+def build_canonical_map(
+    spark: SparkSession,
+    curation_rules: DataFrame | None = None,
+    alias_dict: DataFrame | None = None,
+    threshold: float = 0.90,
+) -> DataFrame:
+    """Union all pair sources, run CC, keep only rows that actually
+    remap (entity_id != canonical_id) so the downstream join stays small
+    and broadcastable."""
+    sources = []
+    if curation_rules is not None:
+        sources.append(curation_pairs(curation_rules))
+    if alias_dict is not None:
+        sources.append(similarity_pairs(alias_dict, threshold))
+    if not sources:
+        return spark.createDataFrame([], "entity_id string, canonical_id string")
+    pairs = sources[0]
+    for s in sources[1:]:
+        pairs = pairs.unionByName(s)
+    cc = connected_components(pairs)
+    return cc.where(F.col("entity_id") != F.col("canonical_id"))
+
+
+def apply_canonical_map(edges: DataFrame, cmap: DataFrame) -> DataFrame:
+    """Remap edge endpoints through the canonical map (broadcast —
+    merge maps are tiny relative to the edge set) and re-dedup.
+    Mirrors apoc.refactor.to/from + duplicate-edge cleanup
+    (neo4j_helper.py:706-801, :2120-2124) as two joins."""
+    src_map = F.broadcast(
+        cmap.select(
+            F.col("entity_id").alias("src"), F.col("canonical_id").alias("src_c")
+        )
+    )
+    dst_map = F.broadcast(
+        cmap.select(
+            F.col("entity_id").alias("dst"), F.col("canonical_id").alias("dst_c")
+        )
+    )
+    return (
+        edges.join(src_map, "src", "left")
+        .join(dst_map, "dst", "left")
+        .select(
+            F.coalesce("src_c", "src").alias("src"),
+            F.col("rel"),
+            F.coalesce("dst_c", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "rel", "dst"])
+    )

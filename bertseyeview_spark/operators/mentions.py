@@ -1,0 +1,140 @@
+"""E2 — NER mention detection as a batched Arrow UDF.
+
+Reference analogue: PubTator3's precomputed BERT NER annotations
+consumed per 100-id batch (knowledge-graph-manager/__main__.py:311-435).
+Here detection runs *inside* the engine as a deterministic dictionary
+tagger (leftmost-longest alias match on word boundaries) applied via
+``mapInPandas`` — the alias dictionary is broadcast to every executor
+once (Spark broadcast variable), the regex automaton is compiled once
+per Python worker, and each Arrow batch is tagged in bulk. Swapping the
+tagger for a real transformer model changes only the function body; the
+Spark plumbing (broadcast model, Arrow batches, schema) is the part
+that must survive 100 TB.
+
+Output: one row per mention —
+``(url, surface, start, end, sentence)`` where ``sentence`` is the
+containing sentence (the disambiguation context for E4 linking).
+
+Keyword tagging (reference F2, __main__.py:765-775) stays fully
+JVM-side in :func:`keyword_matches` — no UDF needed.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MENTION_SCHEMA = (
+    "url string, surface string, start int, end int, "
+    "sent_start int, sentence string"
+)
+
+_SENT_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+
+def _compile_matcher(aliases: list[str]) -> re.Pattern:
+    """Leftmost-longest dictionary automaton: alternation sorted by
+    length desc so 'amyotrophic lateral sclerosis' wins over 'als'."""
+    ordered = sorted({a.lower() for a in aliases}, key=lambda a: (-len(a), a))
+    pat = "|".join(re.escape(a) for a in ordered)
+    return re.compile(r"(?<![0-9A-Za-z])(" + pat + r")(?![0-9A-Za-z])")
+
+
+def tag_text(
+    text: str, matcher: re.Pattern
+) -> list[tuple[str, int, int, int, str]]:
+    """Pure per-document tagger -> [(surface, start, end, sent_start, sentence)]."""
+    out: list[tuple[str, int, int, int, str]] = []
+    if not text:
+        return out
+    low = text.lower()
+    # sentence index: list of (sent_start, sent_end, sentence_text)
+    bounds: list[tuple[int, int, str]] = []
+    pos = 0
+    for part in _SENT_SPLIT.split(text):
+        start = text.index(part, pos)
+        bounds.append((start, start + len(part), part))
+        pos = start + len(part)
+    bi = 0
+    for m in matcher.finditer(low):
+        s, e = m.start(1), m.end(1)
+        while bi < len(bounds) - 1 and s >= bounds[bi][1]:
+            bi += 1
+        out.append((m.group(1), s, e, bounds[bi][0], bounds[bi][2]))
+    return out
+
+
+def detect_mentions(
+    extracted: DataFrame, alias_list: list[str], spark: SparkSession | None = None
+) -> DataFrame:
+    """(url, text, ...) -> mention rows via a broadcast dictionary tagger."""
+    spark = spark or extracted.sparkSession
+    bc = spark.sparkContext.broadcast(sorted(set(alias_list)))
+    src = extracted.select("url", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = _compile_matcher(bc.value)  # once per worker invocation
+        for pdf in batches:
+            urls: list[str] = []
+            surfaces: list[str] = []
+            starts: list[int] = []
+            ends: list[int] = []
+            sent_starts: list[int] = []
+            sents: list[str] = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for surface, s, e, ss, sent in tag_text(text, matcher):
+                    urls.append(url)
+                    surfaces.append(surface)
+                    starts.append(s)
+                    ends.append(e)
+                    sent_starts.append(ss)
+                    sents.append(sent)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "surface": pd.Series(surfaces, dtype="object"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "sent_start": pd.Series(sent_starts, dtype="int32"),
+                    "sentence": pd.Series(sents, dtype="object"),
+                }
+            )
+
+    return src.mapInPandas(run, schema=_MENTION_SCHEMA)
+
+
+def keyword_matches(extracted: DataFrame, keywords: list[str]) -> DataFrame:
+    """Reference F2 (get_relevant_keywords, __main__.py:765-775): the
+    sublist of configured keywords found in the text, as `contains`
+    edge rows (url, rel, Keyword:<kw>). Pure Catalyst — an array
+    literal filtered with a lambda, then exploded; codegen'd JVM-side.
+    """
+    kw_arr = F.array(*[F.lit(k) for k in keywords])
+    low = F.lower(F.col("text"))
+    matched = F.filter(kw_arr, lambda k: low.contains(k))
+    return (
+        extracted.select("url", F.explode(matched).alias("kw"))
+        .select(
+            F.col("url").alias("src"),
+            F.lit("contains").alias("rel"),
+            F.concat(F.lit("Keyword:"), F.col("kw")).alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .select("src", "rel", "dst")
+    )
+
+
+def relevance_filter(extracted: DataFrame, filter_terms: list[str]) -> DataFrame:
+    """Reference F1 (is_relevant, __main__.py:752-762): keep a page iff
+    any filter term occurs (case-insensitively) in its text; an empty
+    term list keeps everything. JVM-side `exists` over an array literal
+    — pushes as a deterministic predicate, no UDF."""
+    if not filter_terms:
+        return extracted
+    terms = F.array(*[F.lit(t.lower()) for t in filter_terms])
+    low = F.lower(F.col("text"))
+    return extracted.where(F.exists(terms, lambda t: low.contains(t)))

@@ -1,0 +1,111 @@
+"""E7 — ArticleRank / PageRank as an iterative DataFrame loop.
+
+Reference analogue: gds.articleRank.write over the Article/citing
+projection (shared/helper/neo4j_helper.py:2154-2186; invoked from
+knowledge-graph-manager/__main__.py:1322-1328, :1434-1439). ArticleRank
+is the published PageRank variant that dampens hub influence by adding
+the *average out-degree* to each source's out-degree in the
+denominator:
+
+    r_{t+1}(v) = (1 - d) + d * sum_{u -> v} r_t(u) / (out(u) + avgOut)
+
+(plain PageRank is the avgOut = 0 special case, exposed via
+``variant="pagerank"``).
+
+Scale notes:
+* one shuffle per iteration (groupBy dst), contributions combined
+  map-side by the partial hash agg;
+* **fixed iteration count** (GDS default maxIterations=20), not a
+  float-threshold stop — keeps local[8] bit-identical to local[32];
+* ``localCheckpoint`` every iteration truncates the lineage chain, the
+  standard fix for iterative-DataFrame plan blowup;
+* the rank table is repartitioned on id once and the edge table on src
+  once, so every iteration's join reuses the same hash partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def article_rank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 20,
+    variant: str = "article_rank",
+) -> DataFrame:
+    """edges(src, dst) [direction src->dst] -> (id, rank).
+
+    Only nodes appearing in the edge set are ranked (the reference
+    guards the GDS call with citationCount > 0, __main__.py:1322-1328);
+    isolated articles keep the implicit floor 1-d.
+    """
+    e = edges.select("src", "dst").dropDuplicates().persist()
+
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    if variant == "article_rank":
+        avg_out = out_deg.agg(F.avg("out_deg")).collect()[0][0] or 0.0
+    else:
+        avg_out = 0.0
+
+    # per-source normalization factor; nodes with no out-edges
+    # contribute nothing (dangling mass is not redistributed — matches
+    # the GDS formulation of ArticleRank).
+    norm = (
+        vertices.join(out_deg, "id", "left")
+        .select(
+            "id",
+            (F.lit(1.0) / (F.coalesce(F.col("out_deg"), F.lit(0)) + F.lit(avg_out))).alias(
+                "inv_norm"
+            ),
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+        )
+        .localCheckpoint()
+    )
+
+    ranks = vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(norm, "id")
+            .where(F.col("out_deg") > 0)
+            .select("id", (F.col("rank") * F.col("inv_norm")).alias("w"))
+            .join(e, F.col("id") == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("w").alias("incoming"))
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+
+    e.unpersist()
+    vertices.unpersist()
+    return ranks
+
+
+def attach_rank(nodes: DataFrame, ranks: DataFrame) -> DataFrame:
+    """nodes(id, label) + ranks(id, rank) -> nodes with a rank column
+    (reference writes article_rank as a node property,
+    neo4j_helper.py:2172-2179)."""
+    return nodes.join(ranks, "id", "left").select(
+        "id", "label", F.coalesce(F.col("rank"), F.lit(0.0)).alias("rank")
+    )

@@ -1,0 +1,301 @@
+"""KG-construction pipeline orchestrator: E1..E7 with lineage + resume.
+
+North-rule requirements implemented here:
+
+* **Per-partition lineage + metrics**: the page corpus is split into
+  ``n_buckets`` stable hash buckets (``pmod(xxhash64(url), n))`` — the
+  same page lands in the same bucket at any parallelism). Each bucketed
+  stage records one lineage row per completed bucket
+  ``(stage, bucket, n_rows, wall_ms, status, ts)``.
+* **Resume without recomputation**: a rerun reads the lineage ledger
+  and anti-joins completed buckets — only pending buckets are
+  processed. This generalizes the reference's integration ledger
+  (DOI-list-all.csv diffing, knowledge-graph-manager/__main__.py:
+  1356-1377, :1426-1429) from per-id to per-partition.
+* **Checkpointed stage outputs**: every stage materializes to a
+  parquet table partitioned by bucket (Iceberg in production — the
+  local image has no Iceberg jars, so the table layer is parquet with
+  identical layout; snapshot-commit semantics are documented, not
+  emulated).
+
+Stages E1-E4 are *page-local* (embarrassingly parallel, bucketable);
+E5-E7 are global graph passes that run once after all buckets land.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import build_alias_dict, build_curation_rules, alias_dict_to_spark
+from .operators import canonicalize as canon
+from .operators import graph as G
+from .operators import rank as R
+from .operators.extract import citing_edges, extract_text
+from .operators.linking import link_mentions, link_triples, mention_edges
+from .operators.mentions import detect_mentions, keyword_matches
+from .operators.triples import extract_triples
+
+_KEYWORDS_DEFAULT = ["therapy", "biomarker", "clinical trial", "prognosis"]
+
+
+def bucket_expr(col: str, n_buckets: int):
+    """Stable hash bucket, independent of partitioning/parallelism."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Lineage:
+    """Append-only JSONL ledger of completed (stage, bucket) work units."""
+
+    path: str
+    _done: set[tuple[str, int]] = field(default_factory=set)
+
+    def __post_init__(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    row = json.loads(line)
+                    if row.get("status") == "done":
+                        self._done.add((row["stage"], row["bucket"]))
+
+    def done_buckets(self, stage: str) -> set[int]:
+        return {b for s, b in self._done if s == stage}
+
+    def mark(self, stage: str, bucket: int, n_rows: int, wall_ms: float) -> None:
+        row = {
+            "stage": stage,
+            "bucket": bucket,
+            "n_rows": n_rows,
+            "wall_ms": round(wall_ms, 1),
+            "status": "done",
+            "ts": time.time(),
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        self._done.add((stage, bucket))
+
+    def rows(self) -> list[dict]:
+        out = []
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                out = [json.loads(line) for line in f]
+        return out
+
+
+class KGPipeline:
+    """Orchestrates pages -> triples with bucket-level resume.
+
+    ``chunk_size`` buckets are processed per Spark job; a crash between
+    chunks loses at most one chunk's work, and the rerun skips every
+    bucket already marked done.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        n_buckets: int = 8,
+        chunk_size: int = 4,
+        keywords: list[str] | None = None,
+        alias_dict: DataFrame | None = None,
+        curation_rules: DataFrame | None = None,
+        rank_iterations: int = 20,
+    ) -> None:
+        self.spark = spark
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.n_buckets = n_buckets
+        self.chunk_size = chunk_size
+        self.keywords = keywords or _KEYWORDS_DEFAULT
+        self.alias_dict = (
+            alias_dict
+            if alias_dict is not None
+            else alias_dict_to_spark(spark, build_alias_dict())
+        )
+        self.curation_rules = (
+            curation_rules
+            if curation_rules is not None
+            else spark.createDataFrame(build_curation_rules())
+        )
+        self.rank_iterations = rank_iterations
+        self.lineage = Lineage(os.path.join(work_dir, "lineage.jsonl"))
+        self._alias_list = [
+            r["alias"] for r in self.alias_dict.select("alias").distinct().collect()
+        ]
+
+    # ---------------- storage helpers ----------------
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, stage)
+
+    def _read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(stage))
+
+    def _append_chunk(self, stage: str, df: DataFrame) -> None:
+        (
+            df.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(self._path(stage))
+        )
+
+    # ---------------- bucketed stage runner ----------------
+
+    def _run_bucketed_stage(
+        self, stage: str, build_fn, fail_after_chunks: int | None = None
+    ) -> None:
+        """Run ``build_fn(pending_bucket_subset) -> DataFrame-with-bucket``
+        over pending buckets in chunks, appending output + lineage.
+
+        ``fail_after_chunks`` injects a crash for the resume test.
+        """
+        done = self.lineage.done_buckets(stage)
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        chunks = [
+            pending[i : i + self.chunk_size]
+            for i in range(0, len(pending), self.chunk_size)
+        ]
+        for ci, chunk in enumerate(chunks):
+            if fail_after_chunks is not None and ci >= fail_after_chunks:
+                raise RuntimeError(f"injected failure before chunk {ci} of {stage}")
+            t0 = time.time()
+            out = build_fn(chunk)
+            self._append_chunk(stage, out)
+            wall = (time.time() - t0) * 1000
+            # per-bucket metrics from the committed files (cheap columnar
+            # count — reads only the bucket partition footer stats)
+            counts = {
+                r["bucket"]: r["n"]
+                for r in self.spark.read.parquet(self._path(stage))
+                .where(F.col("bucket").isin(chunk))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            for b in chunk:
+                self.lineage.mark(stage, b, int(counts.get(b, 0)), wall / len(chunk))
+
+    # ---------------- stages ----------------
+
+    def run_extract(self, pages: DataFrame, fail_after_chunks: int | None = None) -> None:
+        """E1: html -> text + links, bucketed."""
+        src = pages.withColumn("bucket", bucket_expr("url", self.n_buckets))
+
+        def build(chunk: list[int]) -> DataFrame:
+            subset = src.where(F.col("bucket").isin(chunk))
+            ext = extract_text(subset.select("url", "warc_ts", "html", "lang"))
+            return ext.withColumn("bucket", bucket_expr("url", self.n_buckets))
+
+        self._run_bucketed_stage("extract", build, fail_after_chunks)
+
+    def run_mentions(self, fail_after_chunks: int | None = None) -> None:
+        """E2: dictionary NER over extracted text, bucketed."""
+        ext = self._read("extract")
+
+        def build(chunk: list[int]) -> DataFrame:
+            subset = ext.where(F.col("bucket").isin(chunk))
+            m = detect_mentions(subset, self._alias_list, self.spark)
+            return m.withColumn("bucket", bucket_expr("url", self.n_buckets))
+
+        self._run_bucketed_stage("mentions", build, fail_after_chunks)
+
+    def run_link_and_stage_edges(self, fail_after_chunks: int | None = None) -> None:
+        """E3+E4: triples from mention pairs; link mentions; emit the
+        page-local edge staging table (citing, contains,
+        has_named_entity, relation triples), bucketed."""
+        ext = self._read("extract")
+        men = self._read("mentions")
+
+        def build(chunk: list[int]) -> DataFrame:
+            e = ext.where(F.col("bucket").isin(chunk))
+            m = men.where(F.col("bucket").isin(chunk)).drop("bucket")
+            linked = link_mentions(m, self.alias_dict)
+            raw_triples = extract_triples(m)
+            rel_edges = link_triples(raw_triples, linked).withColumn(
+                "origin_url", F.lit(None).cast("string")
+            )
+            ment = mention_edges(linked).withColumn("origin_url", F.col("src"))
+            cit = citing_edges(e).withColumn("origin_url", F.col("src"))
+            kws = keyword_matches(e, self.keywords).withColumn(
+                "origin_url", F.col("src")
+            )
+            staged = G.union_edges(
+                ment.select("src", "rel", "dst", "origin_url"),
+                cit.select("src", "rel", "dst", "origin_url"),
+                kws.select("src", "rel", "dst", "origin_url"),
+                rel_edges.select("src", "rel", "dst", "origin_url"),
+            )
+            # bucket by originating page when known, else by src entity
+            return staged.withColumn(
+                "bucket",
+                bucket_expr("src", self.n_buckets),
+            )
+
+        self._run_bucketed_stage("edges_staging", build, fail_after_chunks)
+
+    def run_global(self) -> dict[str, DataFrame]:
+        """E5-E7: canonicalize, materialize nodes/edges, rank. Global
+        single-shot stages (stage-level lineage via directory presence)."""
+        staged = self._read("edges_staging").select("src", "rel", "dst")
+
+        cmap = canon.build_canonical_map(
+            self.spark,
+            curation_rules=self.curation_rules,
+            alias_dict=self.alias_dict,
+        )
+        edges = canon.apply_canonical_map(G.cleanup_null_nodes(staged), cmap)
+
+        # drop citing edges whose target page is not in the corpus
+        # (reference only MERGEs articles it has metadata for)
+        pages_urls = self._read("extract").select(F.col("url").alias("dst"))
+        cit = edges.where(F.col("rel") == "citing").join(pages_urls, "dst", "semi")
+        rest = edges.where(F.col("rel") != "citing")
+        edges = rest.unionByName(cit.select("src", "rel", "dst"))
+
+        edges.write.mode("overwrite").parquet(self._path("edges"))
+        edges = self._read("edges")
+
+        nodes = G.derive_nodes(edges)
+        ranks = R.article_rank(
+            edges.where(F.col("rel") == "citing").select("src", "dst"),
+            iterations=self.rank_iterations,
+        )
+        nodes_ranked = R.attach_rank(nodes, ranks)
+        nodes_ranked.write.mode("overwrite").partitionBy("label").parquet(
+            self._path("nodes")
+        )
+        return {"edges": edges, "nodes": self._read("nodes")}
+
+    def run_all(self, pages: DataFrame) -> dict[str, DataFrame]:
+        self.run_extract(pages)
+        self.run_mentions()
+        self.run_link_and_stage_edges()
+        return self.run_global()
+
+    # ---------------- outputs ----------------
+
+    def triples(self) -> DataFrame:
+        """The scored (subj, pred, obj) set == the edges table."""
+        return self._read("edges").select(
+            F.col("src").alias("subj"),
+            F.col("rel").alias("pred"),
+            F.col("dst").alias("obj"),
+        )
+
+    def verify_extraction(self, pages: DataFrame) -> int:
+        """Byte-identity check of extracted text per url vs the oracle
+        ``text`` column on pages; returns mismatch count (must be 0)."""
+        ext = self._read("extract").select("url", F.col("text").alias("got"))
+        exp = pages.select("url", F.col("text").alias("want"))
+        return (
+            exp.join(ext, "url", "left")
+            .where(
+                F.col("got").isNull() | (F.col("got") != F.col("want"))
+            )
+            .count()
+        )
