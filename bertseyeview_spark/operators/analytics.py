@@ -1,0 +1,364 @@
+"""Read-side analytics: the reference's REST query surface as Catalyst plans.
+
+Covers SURVEY.md §2.2-§2.7: label abundance (A1-A5), top-n articles by
+citation metric (A8/A9), top entities (A7), degree-ranked search
+(F5/F6/A6/T2), all expressed as declarative DataFrame plans so Catalyst
+gets predicate pushdown / column pruning / broadcast choices for free.
+
+Scale notes baked in:
+* scalar counts (count_articles, count_subset) travel as 1-row
+  DataFrames through ``crossJoin`` — Spark broadcasts them; no
+  ``collect()`` round-trip, no driver-side constants in the plan.
+* subsets are LEFT SEMI joins (reference collects node lists and does
+  ``IN subset_list``, H:540-542 — a collect that cannot scale; the
+  semi-join is the distributed equivalent).
+* hub entities (stopword-like mega-hubs at web scale) get
+  ``salted_count``: two-phase (key, salt) pre-aggregation then final
+  combine, the classic skew fix the north rule requires.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# skew-aware counting
+# ---------------------------------------------------------------------------
+
+def salted_count(df: DataFrame, key_cols: list[str], n_salt: int = 16) -> DataFrame:
+    """groupBy(key).count() in two phases: partial counts on
+    (key, salt) — salt derived from a row-stable hash, NOT rand(), so
+    retries/replays are deterministic — then a final combine on key.
+    The partial shuffle spreads a mega-hub key over ``n_salt``
+    reducers; the final shuffle carries at most n_salt rows per key.
+    """
+    all_cols = df.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in all_cols]), F.lit(n_salt))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("_partial").alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# A1-A5: label abundance (reference get_label_abundance, H:294-579)
+# ---------------------------------------------------------------------------
+
+def label_abundance(
+    mentions: DataFrame,
+    articles: DataFrame,
+    subset_1: DataFrame,
+    subset_2: DataFrame | None = None,
+    min_mentions: int = 10,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Entity-enrichment scores.
+
+    ``mentions``: (article, entity) mention edges, already restricted to
+    the goal entity label (and jump-joined for pathway/GO labels — see
+    :func:`jump_mentions`). ``articles``: one column ``article`` — the
+    global population. ``subset_N``: one column ``article``.
+
+    Per entity (exact reference math, H:531-548):
+      absolute_mentions          = count(articles mentioning entity)
+      expected_mentions          = absolute_mentions / count_articles
+      absolute_subset_mentions_1 = count within subset_1
+      relative_subset_mentions_1 = absolute_subset_1 / count_subset_1
+      score_1 = round(relative_1 / expected, 4)
+      HAVING absolute_mentions > min_mentions
+    Two-group mode adds the same for subset_2 and
+      score = (relative_2 / expected) / score_1      (numerator unrounded,
+      denominator the *rounded* score_1 — reference quirk, H:482-486).
+    """
+    m = mentions.select("article", "entity")
+
+    count_articles = articles.agg(F.count("*").alias("count_articles"))
+    count_subset_1 = subset_1.agg(F.count("*").alias("count_subset_1"))
+
+    def entity_counts(src: DataFrame, out: str) -> DataFrame:
+        if salt_partitions > 1:
+            return salted_count(src, ["entity"], salt_partitions).withColumnRenamed(
+                "count", out
+            )
+        return src.groupBy("entity").agg(F.count("*").alias(out))
+
+    absolute = entity_counts(m, "absolute_mentions")
+
+    m1 = m.join(subset_1, "article", "semi")
+    obs_1 = entity_counts(m1, "absolute_subset_mentions_1")
+
+    out = (
+        absolute.crossJoin(F.broadcast(count_articles))
+        .withColumn(
+            "expected_mentions",
+            F.col("absolute_mentions").cast("double") / F.col("count_articles"),
+        )
+        .join(obs_1, "entity")
+        .crossJoin(F.broadcast(count_subset_1))
+        .withColumn(
+            "relative_subset_mentions_1",
+            F.col("absolute_subset_mentions_1").cast("double")
+            / F.col("count_subset_1"),
+        )
+        .withColumn(
+            "score_1",
+            F.round(
+                F.col("relative_subset_mentions_1") / F.col("expected_mentions"), 4
+            ),
+        )
+        .where(F.col("absolute_mentions") > min_mentions)
+    )
+
+    if subset_2 is None:
+        return (
+            out.withColumn("score", F.col("score_1"))
+            .select(
+                "entity",
+                "score",
+                "absolute_mentions",
+                "expected_mentions",
+                "absolute_subset_mentions_1",
+                "relative_subset_mentions_1",
+            )
+            .orderBy(F.desc("score"), F.asc("entity"))
+        )
+
+    count_subset_2 = subset_2.agg(F.count("*").alias("count_subset_2"))
+    m2 = m.join(subset_2, "article", "semi")
+    obs_2 = entity_counts(m2, "absolute_subset_mentions_2")
+    return (
+        out.join(obs_2, "entity")
+        .crossJoin(F.broadcast(count_subset_2))
+        .withColumn(
+            "relative_subset_mentions_2",
+            F.col("absolute_subset_mentions_2").cast("double")
+            / F.col("count_subset_2"),
+        )
+        .withColumn(
+            "score_2",
+            F.round(
+                F.col("relative_subset_mentions_2") / F.col("expected_mentions"), 4
+            ),
+        )
+        .withColumn(
+            "score",
+            (F.col("relative_subset_mentions_2") / F.col("expected_mentions"))
+            / F.col("score_1"),
+        )
+        .select(
+            "entity",
+            "score",
+            "score_1",
+            "score_2",
+            "absolute_mentions",
+            "expected_mentions",
+            "absolute_subset_mentions_1",
+            "relative_subset_mentions_1",
+            "absolute_subset_mentions_2",
+            "relative_subset_mentions_2",
+        )
+        .orderBy(F.asc("score"), F.asc("entity"))
+    )
+
+
+def jump_mentions(entity_link_edges: DataFrame, gene_mentions: DataFrame) -> DataFrame:
+    """J3 pathway/GO 'jump' join (H:349-369): pathway/GO/drug entities
+    reach articles only through genes —
+    (entity)-->(gene)<--(article). Two chained equi-joins; the
+    entity->gene edge table is small (enrichment data) and broadcast."""
+    e = entity_link_edges.select(
+        F.col("src").alias("entity"), F.col("dst").alias("gene")
+    )
+    g = gene_mentions.select(
+        F.col("article"), F.col("entity").alias("gene")
+    )
+    return F.broadcast(e).join(g, "gene").select("article", "entity")
+
+
+# ---------------------------------------------------------------------------
+# A8/A9/T3: top-n articles by citation metric (H:919-1061)
+# ---------------------------------------------------------------------------
+
+def top_n_articles(
+    citing: DataFrame,
+    subset: DataFrame,
+    article_age_months: DataFrame | None = None,
+    weight_mention: int = 100,
+    top_n: int = 10,
+    metric_norm: bool = True,
+) -> DataFrame:
+    """Rank subset articles by in-citations.
+
+    ``citing``: (src, dst) article-cites-article edges. ``subset``: one
+    column ``article``. Exact reference math (H:981-1011):
+      count_all    = in-citations of each subset article from anywhere
+      count_target = in-citations from within the subset
+      count_metric = count_all + weight_mention * count_target
+      count_metric_age_norm = count_metric / max(age_in_months, 1)
+    Only articles with >= 1 in-citation appear (Cypher MATCH semantics).
+    Spark's orderBy+limit compiles to TakeOrderedAndProject — a
+    distributed top-k, no global sort materialized.
+    """
+    c = citing.select("src", "dst")
+    in_subset = c.join(
+        subset.select(F.col("article").alias("dst")), "dst", "semi"
+    )
+    count_all = in_subset.groupBy(F.col("dst").alias("article")).agg(
+        F.count("*").alias("count_all")
+    )
+    from_subset = in_subset.join(
+        subset.select(F.col("article").alias("src")), "src", "semi"
+    )
+    count_target = from_subset.groupBy(F.col("dst").alias("article")).agg(
+        F.count("*").alias("count_target")
+    )
+    out = count_all.join(count_target, "article", "left").withColumn(
+        "count_target", F.coalesce("count_target", F.lit(0))
+    )
+    out = out.withColumn(
+        "count_metric",
+        F.col("count_all") + F.lit(weight_mention) * F.col("count_target"),
+    )
+    if article_age_months is not None:
+        out = (
+            out.join(article_age_months, "article", "left")
+            .withColumn(
+                "age_norm",
+                F.greatest(F.coalesce(F.col("age_in_months"), F.lit(1)), F.lit(1)),
+            )
+            .withColumn(
+                "count_metric_age_norm",
+                F.col("count_metric").cast("double") / F.col("age_norm"),
+            )
+        )
+    else:
+        out = out.withColumn("age_norm", F.lit(1)).withColumn(
+            "count_metric_age_norm", F.col("count_metric").cast("double")
+        )
+    order = "count_metric_age_norm" if metric_norm else "count_metric"
+    return (
+        out.select(
+            "article",
+            "count_all",
+            "count_target",
+            "count_metric",
+            "count_metric_age_norm",
+        )
+        .orderBy(F.desc(order), F.asc("article"))
+        .limit(top_n)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7/T4: top entities by mention count (H:1063-1093)
+# ---------------------------------------------------------------------------
+
+def top_entities(
+    mentions: DataFrame, top_n: int = 10, salt_partitions: int = 0
+) -> DataFrame:
+    """(article, entity) -> top-n entities by count_mentions. Salted
+    two-phase count when hub skew is expected."""
+    if salt_partitions > 1:
+        counts = salted_count(mentions, ["entity"], salt_partitions).withColumnRenamed(
+            "count", "count_mentions"
+        )
+    else:
+        counts = mentions.groupBy("entity").agg(
+            F.count("*").alias("count_mentions")
+        )
+    return counts.orderBy(F.desc("count_mentions"), F.asc("entity")).limit(top_n)
+
+
+# ---------------------------------------------------------------------------
+# A6 + F5/F6/T2: degree count and attribute search
+# ---------------------------------------------------------------------------
+
+def degree_count(edges: DataFrame) -> DataFrame:
+    """Undirected degree per node (H:639-643): union both endpoints,
+    one grouped count."""
+    ids = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return ids.groupBy("id").agg(F.count("*").alias("count_links"))
+
+
+_OPERATOR_WHITELIST = {
+    "=", "<", ">", ">=", "<=", "<>",
+    "IS NULL", "IS NOT NULL",
+    "STARTS WITH", "ENDS WITH", "CONTAINS",
+}
+
+
+def _predicate(col: Column, op: str, value: str | None) -> Column:
+    """One whitelisted predicate (reference get_where_clause,
+    H:177-209 + whitelist H:378-383): case-insensitive comparison."""
+    op = op.upper().strip()
+    if op not in _OPERATOR_WHITELIST:
+        raise ValueError(f"operator not allowed: {op!r}")
+    low = F.lower(col.cast("string"))
+    v = F.lit(value.lower()) if value is not None else None
+    if op == "=":
+        return low == v
+    if op == "<":
+        return low < v
+    if op == ">":
+        return low > v
+    if op == ">=":
+        return low >= v
+    if op == "<=":
+        return low <= v
+    if op == "<>":
+        return low != v
+    if op == "IS NULL":
+        return col.isNull()
+    if op == "IS NOT NULL":
+        return col.isNotNull()
+    if op == "STARTS WITH":
+        return low.startswith(value.lower())
+    if op == "ENDS WITH":
+        return low.endswith(value.lower())
+    return low.contains(value.lower())  # CONTAINS
+
+
+def search(
+    df: DataFrame,
+    attributes: list[str],
+    operators: list[str],
+    values: list[str | None],
+    combine: str = "or",
+    sort_by: str | None = None,
+    ascending: bool = False,
+    limit: int | None = None,
+    degree_edges: DataFrame | None = None,
+) -> DataFrame:
+    """Attribute search (F5 OR-chains for search, F6 AND-chains for
+    article filters) with optional degree-ranked ordering (A6/T2:
+    ORDER BY count_links) and distributed top-k limit."""
+    preds = [
+        _predicate(F.col(a), o, v)
+        for a, o, v in zip(attributes, operators, values)
+    ]
+    combiner = (lambda x, y: x | y) if combine == "or" else (lambda x, y: x & y)
+    out = df.where(reduce(combiner, preds)) if preds else df
+    if sort_by == "count_links":
+        if degree_edges is None:
+            raise ValueError("degree ordering requires degree_edges")
+        deg = degree_count(degree_edges)
+        out = out.join(deg, out[df.columns[0]] == deg["id"], "left").withColumn(
+            "count_links", F.coalesce("count_links", F.lit(0))
+        ).drop("id")
+        sort_col = F.col("count_links")
+    elif sort_by:
+        sort_col = F.col(sort_by)
+    else:
+        sort_col = None
+    if sort_col is not None:
+        out = out.orderBy(sort_col.asc() if ascending else sort_col.desc())
+    if limit:
+        out = out.limit(limit)
+    return out

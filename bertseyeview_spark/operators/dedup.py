@@ -1,0 +1,294 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Four families, each designed so the *candidate generation* is a bounded
+shuffle rather than an O(n^2) cross join:
+
+* exact      — hash-groupBy on a content digest (one shuffle);
+* n-gram Jaccard — set-similarity join: explode word n-grams,
+  equi-join on shingle, count intersections, verify Jaccard
+  (the classic exact algorithm; at 100 TB add prefix filtering);
+* MinHash + LSH — k independent min-hashes per doc computed **entirely
+  JVM-side** (xxhash64 with per-permutation seeds over exploded
+  shingles — no Python), banded into buckets, candidate pairs from
+  bucket equi-joins, then exact-Jaccard verification of candidates;
+* SimHash   — 64-bit token-hash majority signature (one Arrow UDF),
+  near-dup = hamming distance <= d via banded buckets + bit_count.
+
+All outputs are deterministic: hash functions are seed-fixed, and ties
+break on document id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Representative-per-content: group on a sha256 digest (collision
+    odds negligible; grouping by digest, not raw text, keeps shuffle
+    rows small at 100 TB). Returns (rep_id, n_dups) with rep = min id.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("h"))
+        .groupBy("h")
+        .agg(F.min("id").alias("rep_id"), F.count("*").alias("n_dups"))
+        .select("rep_id", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared)
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text_col, n: int):
+    """Array of word n-grams, JVM-side: split -> transform over an index
+    sequence -> slice+join. Empty array when fewer than n tokens."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows, distinct per doc (set semantics)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "shingle"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard set-similarity join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
+
+    ``max_shingle_freq`` drops ubiquitous shingles (boilerplate) before
+    the self-join — the skew guard: a shingle appearing in f docs
+    yields f^2 candidate rows, so capping f bounds the join blow-up.
+    """
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("f"))
+            .where(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        joinable = sh.join(freq_ok, "shingle", "semi")
+
+    a = joinable.select(F.col("id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 32
+) -> DataFrame:
+    """(id, sig array<bigint>[num_perm]) — min over shingles of
+    xxhash64(shingle, perm_seed). Entirely Catalyst: one explode + one
+    grouped aggregation with num_perm min() columns (map-side partials
+    keep the shuffle at num_perm longs per doc)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via banding: docs agreeing on all rows of any band
+    become candidates (bucket equi-join on (band, band-slice-hash)),
+    then candidates are verified with exact n-gram Jaccard. With
+    num_perm=32, bands=8 (r=4), the S-curve crosses ~0.7 — standard
+    public MinHash-LSH parameterization."""
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    l = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    r = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    candidates = (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+    # verify candidates with exact Jaccard (join back to shingle sets)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a_sh = sh.withColumnRenamed("id", "id_a")
+    b_sh = sh.withColumnRenamed("id", "id_b")
+    common = (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens using a stable per-token
+    hash (zlib.crc32 folded to 64 bits via two salts)."""
+    import zlib
+
+    votes = [0] * 64
+    for tok in (text or "").lower().split():
+        h = (
+            zlib.crc32(tok.encode()) << 32 | zlib.crc32((tok + "#").encode())
+        ) & 0xFFFFFFFFFFFFFFFF
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = 0
+    for b in range(64):
+        if votes[b] > 0:
+            sig |= 1 << b
+    return sig - (1 << 64) if sig >= (1 << 63) else sig  # to signed
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash bigint) via one batched Arrow UDF."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "simhash": pdf["t"].map(_simhash64).astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema="id long, simhash long")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidate
+    pairs come from 16-bit band buckets (pigeonhole: <=3 differing bits
+    over 4 bands leaves >=1 identical band); verification is JVM
+    ``bit_count(a ^ b)``."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    banded = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bucket")
+    l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket")
+    r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

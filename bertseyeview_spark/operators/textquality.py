@@ -1,0 +1,161 @@
+"""Text-analysis operators for training-data curation at corpus scale.
+
+All of these stay in whole-stage codegen (built-in string/regex
+functions) except the rolling-hash fingerprint, which is one Arrow UDF.
+
+* language-ID: marker-token heuristic (presence-count of per-language
+  stopwords, argmax with fixed precedence) — the n-gram-free variant
+  that is exactly expressible in ANSI SQL for oracle checking;
+* quality scoring: token/char counts, punctuation ratio, stopword
+  ratio, mean word length — the usual C4/Gopher-style filters;
+* token counting: whitespace tokens + a BPE-ish regex segmentation
+  (letters / digits / single punctuation);
+* document fingerprinting: 61-bit polynomial rolling hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with"],
+    "de": ["der", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "que", "por"],
+    "zh": ["de5", "shi4", "zai4", "he2"],  # romanized placeholders
+}
+
+STOPWORDS_EN = [
+    "the", "a", "an", "and", "or", "of", "in", "on", "to", "is", "was",
+    "for", "with", "that", "this", "it", "as", "at", "by",
+]
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def language_scores(text_col: Column) -> dict[str, Column]:
+    """Per-language marker-presence score (0..len(markers)). Presence,
+    not frequency — keeps the SQL oracle trivially identical."""
+    padded = _padded(text_col)
+    return {
+        lang: sum(
+            F.when(padded.contains(f" {m} "), 1).otherwise(0) for m in markers
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_guess") -> DataFrame:
+    """Argmax over marker scores; fixed precedence (dict order) breaks
+    ties — the earliest language with the maximal score wins; all-zero
+    -> 'und'."""
+    scores = language_scores(F.col(text_col))
+    max_score = None
+    for lang in scores:
+        max_score = (
+            scores[lang] if max_score is None else F.greatest(max_score, scores[lang])
+        )
+    guess = F.lit("und")
+    for lang in reversed(list(scores)):
+        guess = F.when(
+            (scores[lang] == max_score) & (max_score > 0), F.lit(lang)
+        ).otherwise(guess)
+    return df.withColumn(out_col, guess)
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+# BPE-ish segmentation: letter runs, digit runs, single other non-space
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text_col: Column) -> Column:
+    return F.regexp_count(text_col, F.lit(BPE_TOKEN_RE))
+
+
+def quality_features(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """Per-document quality features + a composite [0,1] score.
+
+    score = 0.25*len_ok + 0.25*mean_word_ok + 0.25*(1-punct_ratio)
+          + 0.25*stop_ratio_clamped — a deterministic, SQL-expressible
+    stand-in for the usual heuristic quality classifiers.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    padded = _padded(t)
+    n_stop = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS_EN
+    )
+    mean_word_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    stop_presence = n_stop.cast("double") / len(STOPWORDS_EN)
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    score = F.round(
+        0.25 * len_ok
+        + 0.25 * word_ok
+        + 0.25 * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.25 * F.least(stop_presence * 2, F.lit(1.0)),
+        4,
+    )
+    cols = [F.col(id_col)] if id_col else []
+    return df.select(
+        *cols,
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_presence, 4).alias("stopword_presence"),
+        score.alias("quality_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting (Arrow UDF — arbitrary-precision modular arithmetic)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 131
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Polynomial rolling hash over code points, mod 2^61-1."""
+    h = 0
+    for ch in text or "":
+        h = (h * _FP_BASE + ord(ch)) % _FP_MOD
+    return h
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "fingerprint": pdf["t"].map(rolling_fingerprint).astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(run, schema="id long, fingerprint long")

@@ -1,0 +1,139 @@
+"""Dedup + similarity operators vs independent pure-python oracles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.operators import dedup as D
+from bertseyeview_spark.operators import similarity as SIM
+from bertseyeview_spark.operators.textquality import rolling_fingerprint
+from bertseyeview_spark.operators import textquality as TQ
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " extra"),                        # near dup of 0
+        (3, "completely different words about spark shuffles and joins here"),
+        (4, "another unrelated document regarding window functions and state"),
+        (5, base.replace("quick", "slow")),          # near dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["rep_id"]: r["n_dups"] for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[0] == 2  # docs 0 and 1
+    assert sum(out.values()) == 6
+    assert 1 not in out  # min-id is the representative
+
+
+def test_ngram_jaccard_vs_python(spark, docs):
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expected = {}
+    for i in texts:
+        for j in texts:
+            if i < j:
+                jac = _py_jaccard(texts[i], texts[j])
+                if jac >= 0.5:
+                    expected[(i, j)] = round(jac, 6)
+    assert rows == expected
+    assert (0, 1) in rows and rows[(0, 1)] == 1.0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=64,
+                               bands=16, threshold=0.5).collect()}
+    assert (0, 1) in got
+    assert (0, 2) in got or (0, 5) in got
+    # verified candidates can't include unrelated docs
+    assert (3, 4) not in got
+
+
+def test_simhash_vs_python(spark, docs):
+    got = {r["id"]: r["simhash"] for r in
+           D.simhash_signatures(docs, "doc_id", "text").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, t in texts.items():
+        assert got[i] == D._simhash64(t)
+    # exact dups share the signature; near dups are hamming-close
+    assert got[0] == got[1]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             D.simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_brute_force_topk_vs_numpy(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where(F.col("vec_id") < 3)
+    got = SIM.brute_force_topk(df, q, k=5).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    for qid in range(3):
+        order = [
+            int(j)
+            for j in sorted(
+                (j for j in range(40) if j != qid),
+                key=lambda j: (-sims[qid, j], j),
+            )[:5]
+        ]
+        mine = [r["neighbor_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert mine == order
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, k=10).collect()
+    # weak-neighbor corpus (max cosine ~0.5): use many short bands —
+    # 6 bands x 2 bits -> ~94% theoretical recall at cos 0.4
+    approx = SIM.lsh_ann_topk(emb, q, dim=64, k=10, n_planes=12, bands=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.7, f"ANN recall too low: {recall}"
+
+
+def test_embedding_neardup_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.04, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             SIM.embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_fingerprint_vs_python(spark, docs):
+    got = {r["id"]: r["fingerprint"] for r in
+           TQ.fingerprint(docs, "doc_id", "text").collect()}
+    for r in docs.collect():
+        assert got[r["doc_id"]] == rolling_fingerprint(r["text"])

@@ -1,0 +1,104 @@
+"""Analytics invariants, multimodal plumbing, text quality, search guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.operators import analytics as A
+from bertseyeview_spark.operators import multimodal as MM
+from bertseyeview_spark.operators import textquality as TQ
+
+
+def test_salted_count_equals_plain(spark):
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], ["k", "v"]
+    )
+    plain = {r["k"]: r["cnt"] for r in
+             df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    salted = {r["k"]: r["count"] for r in
+              A.salted_count(df, ["k"], n_salt=16).collect()}
+    assert plain == salted
+
+
+def test_search_operator_whitelist(spark):
+    df = spark.createDataFrame([("x",)], ["name"])
+    with pytest.raises(ValueError, match="operator not allowed"):
+        A.search(df, ["name"], ["LIKE"], ["x"])
+    with pytest.raises(ValueError, match="operator not allowed"):
+        A.search(df, ["name"], ["= 1; DROP TABLE"], ["x"])
+
+
+def test_search_null_operators(spark):
+    df = spark.createDataFrame([("a",), (None,)], "name string")
+    got = A.search(df, ["name"], ["IS NOT NULL"], [None]).collect()
+    assert len(got) == 1 and got[0]["name"] == "a"
+
+
+def test_jump_mentions(spark):
+    links = spark.createDataFrame(
+        [("pathway_kegg:hsa1", "gene_contains", "Gene:1")],
+        ["src", "rel", "dst"],
+    )
+    gm = spark.createDataFrame(
+        [("u1", "Gene:1"), ("u2", "Gene:1"), ("u3", "Gene:2")],
+        ["article", "entity"],
+    )
+    got = A.jump_mentions(links, gm).collect()
+    assert {(r["article"], r["entity"]) for r in got} == {
+        ("u1", "pathway_kegg:hsa1"),
+        ("u2", "pathway_kegg:hsa1"),
+    }
+
+
+def test_multimodal_meta_and_features(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG1234"), (2, b""), (3, None)],
+        "id long, payload binary",
+    )
+    meta = {r["id"]: (r["byte_len"], r["first_byte"]) for r in
+            MM.binary_meta(df, "id", "payload").collect()}
+    assert meta[1] == (8, 0x89)
+    assert meta[2] == (0, -1)
+    assert meta[3] == (0, -1)
+
+    feats = MM.image_features(df, "id", "payload").collect()
+    assert {r["id"] for r in feats} == {1, 2, 3}
+    assert all(len(r["feature"]) == 4 for r in feats)
+    assert all(r["channels"] == 3 for r in feats)
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError, match="not available"):
+        MM.decode_image(b"xx")
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(256)) * 10)], "id long, payload binary"
+    )
+    frames = MM.sample_frames(df, "id", "payload", every_n_bytes=1000).collect()
+    assert len(frames) == 3  # 2560 bytes -> offsets 0,1000,2000
+    assert [r["frame_index"] for r in sorted(frames, key=lambda r: r["frame_index"])] == [0, 1, 2]
+
+
+def test_language_id_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house with hats"),
+            (2, "der hund und die katze ist nicht hier"),
+            (3, "le chat et la maison les arbres"),
+            (4, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in
+           TQ.language_id(df, "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "Hello, world! This is a test.")], ["doc_id", "text"])
+    r = TQ.quality_features(df, "text", "doc_id").collect()[0]
+    assert r["n_chars"] == 29
+    assert r["n_tokens"] == 6
+    assert r["n_bpe_tokens"] == 9  # hello , world ! this is a test .
+    assert 0.0 <= r["quality_score"] <= 1.0
