@@ -25,7 +25,11 @@ from bertseyeview_spark.operators import dedup as D  # noqa: E402
 from bertseyeview_spark.operators import multimodal as MM  # noqa: E402
 from bertseyeview_spark.operators import similarity as SIM  # noqa: E402
 from bertseyeview_spark.operators import textquality as TQ  # noqa: E402
+from bertseyeview_spark.functions.bioc import parse_bioc_column  # noqa: E402
+from bertseyeview_spark.operators import enrichment as EN  # noqa: E402
 from bertseyeview_spark.operators.canonicalize import connected_components  # noqa: E402
+from bertseyeview_spark.operators.graph import node_label_expr  # noqa: E402
+from bertseyeview_spark.operators.node2vec import generate_walks  # noqa: E402
 from bertseyeview_spark.operators.rank import article_rank  # noqa: E402
 from bertseyeview_spark.plans.kg import construct_triples, documents_as_pages  # noqa: E402
 
@@ -447,6 +451,139 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# enrichment / id quality / BioC / walks
+# ---------------------------------------------------------------------------
+
+def _derived_gene_annotations(spark, sf_dir) -> DataFrame:
+    """Deterministic mygene-style annotation table derived from part."""
+    p = _t(spark, sf_dir, "part")
+    cat = (
+        F.when(F.col("p_size") % 3 == 0, "go_bp")
+        .when(F.col("p_size") % 3 == 1, "go_cc")
+        .otherwise("pathway_kegg")
+    )
+    return p.select(
+        F.concat(F.lit("Gene:"), (F.col("p_partkey") % 100).cast("string")).alias(
+            "gene_id"
+        ),
+        cat.alias("category"),
+        F.concat(F.lit("T"), (F.col("p_partkey") % 20).cast("string")).alias(
+            "term_id"
+        ),
+    )
+
+
+def q_enrichment_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: annotation table -> <category>_contains_gene edge rows."""
+    _, edges = EN.expand_gene_annotations(_derived_gene_annotations(spark, sf_dir))
+    return edges
+
+
+def q_malformed_id_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ids = c.select(
+        F.when(
+            F.col("c_custkey") % 4 == 0,
+            F.concat(F.lit("Gene:"), F.col("c_custkey").cast("string")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 1,
+            F.concat(F.lit("Gene:x"), F.col("c_custkey").cast("string")),
+        )
+        .when(
+            F.col("c_custkey") % 4 == 2,
+            F.concat(F.lit("Species:"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("Chemical:MESH:D"), F.col("c_custkey").cast("string"))
+        )
+        .alias("id")
+    )
+    return EN.malformed_id_tally(ids)
+
+
+def q_label_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: node count per label over a derived node table."""
+    c = _t(spark, sf_dir, "customer")
+    ids = c.select(
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("https://example.org/"), F.col("c_custkey").cast("string")),
+        )
+        .when(
+            F.col("c_custkey") % 3 == 1,
+            F.concat(F.lit("Gene:"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("Keyword:k"), (F.col("c_custkey") % 7).cast("string"))
+        )
+        .alias("id")
+    ).distinct()
+    nodes = ids.withColumn("label", node_label_expr("id"))
+    return EN.label_statistics(nodes)
+
+
+def q_disease_attribute_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    diseases = n.select(
+        F.concat(F.lit("Disease:MESH:D"), F.col("n_nationkey").cast("string")).alias(
+            "disease_id"
+        )
+    )
+    r = _t(spark, sf_dir, "region")
+    ctd = r.select(
+        F.concat(F.lit("Disease:MESH:D"), F.col("r_regionkey").cast("string")).alias(
+            "DiseaseID"
+        ),
+        F.concat(
+            F.lit("Disease:MESH:D"),
+            (F.col("r_regionkey") + 5).cast("string"),
+            F.lit("|Disease:MESH:D"),
+            (F.col("r_regionkey") + 10).cast("string"),
+        ).alias("AltDiseaseIDs"),
+        F.col("r_name").alias("DiseaseName"),
+    )
+    return EN.disease_attribute_join(diseases, ctd)
+
+
+_BIOC_SAMPLE = (
+    '<?xml version="1.0"?><collection><document><id>42</id>'
+    "<passage><text>Alpha beta.</text>"
+    '<annotation id="1"><infon key="type">Gene</infon>'
+    '<infon key="identifier">6647</infon><location offset="0" length="5"/>'
+    "<text>Alpha</text></annotation></passage>"
+    "<passage><text>Gamma delta riluzole.</text>"
+    '<annotation id="2"><infon key="type">Chemical</infon>'
+    '<infon key="identifier">MESH:D000069337</infon>'
+    '<location offset="24" length="8"/><text>riluzole</text></annotation>'
+    "</passage></document></collection>"
+)
+
+
+def q_bioc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/C13: BioC XML -> per-annotation rows (constant input, so the
+    oracle is a VALUES literal)."""
+    xml_df = spark.createDataFrame([(_BIOC_SAMPLE,)], "xml string")
+    parsed = parse_bioc_column(xml_df, "xml")
+    return parsed.select(
+        "doc_id", F.explode("annotations").alias("a")
+    ).select("doc_id", "a.surface", "a.concept", "a.norm_id", "a.offset", "a.length")
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: deterministic walks (hash-seeded), but the neighbor-
+    # choice hash (xxhash64) is engine-specific; structural invariants
+    # are asserted in tests/test_sources_enrichment.py
+    n = _t(spark, sf_dir, "nation")
+    edges = n.select(
+        F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    walks = generate_walks(edges, walks_per_node=4, walk_length=8, seed=7)
+    return walks.select("walk_key", F.array_join("walk", ">").alias("walk_path"))
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -486,6 +623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization": q_sessionization,
         "connected_components": q_connected_components,
         "kg_pagerank": q_kg_pagerank,
+        "enrichment_expansion": q_enrichment_expansion,
+        "malformed_id_tally": q_malformed_id_tally,
+        "label_statistics": q_label_statistics,
+        "disease_attribute_join": q_disease_attribute_join,
+        "bioc_parse": q_bioc_parse,
+        "random_walks": q_random_walks,
     }
 
 
@@ -766,5 +909,71 @@ SELECT id AS entity_id, c AS canonical_id FROM nn JOIN mn USING (r)
 UNION ALL
 SELECT 'R:' || r_regionkey AS entity_id, c AS canonical_id
 FROM region JOIN mn ON r_regionkey = mn.r
+""",
+        "enrichment_expansion": """
+SELECT DISTINCT
+  'T' || (p_partkey % 20) AS src,
+  CASE p_size % 3 WHEN 0 THEN 'GO_BP_contains_gene'
+                  WHEN 1 THEN 'GO_CC_contains_gene'
+                  ELSE 'pathway_kegg_contains_gene' END AS rel,
+  'Gene:' || (p_partkey % 100) AS dst
+FROM part
+""",
+        "malformed_id_tally": """
+WITH ids AS (
+  SELECT CASE c_custkey % 4
+    WHEN 0 THEN 'Gene:' || c_custkey
+    WHEN 1 THEN 'Gene:x' || c_custkey
+    WHEN 2 THEN 'Species:' || c_custkey
+    ELSE 'Chemical:MESH:D' || c_custkey END AS id
+  FROM customer
+)
+SELECT
+  sum(CASE WHEN starts_with(id, 'Gene:') AND regexp_matches(id, '^Gene:[0-9]+$')
+      THEN 1 ELSE 0 END) AS gene_valid,
+  sum(CASE WHEN starts_with(id, 'Gene:') AND NOT regexp_matches(id, '^Gene:[0-9]+$')
+      THEN 1 ELSE 0 END) AS gene_malformed,
+  sum(CASE WHEN starts_with(id, 'Disease:') THEN 1 ELSE 0 END) AS disease_valid,
+  0 AS disease_malformed,
+  sum(CASE WHEN starts_with(id, 'Chemical:') AND starts_with(id, 'Chemical:MESH:')
+      THEN 1 ELSE 0 END) AS chemical_valid,
+  sum(CASE WHEN starts_with(id, 'Chemical:') AND NOT starts_with(id, 'Chemical:MESH:')
+      THEN 1 ELSE 0 END) AS chemical_malformed,
+  sum(CASE WHEN starts_with(id, 'Species:') AND regexp_matches(id, '^Species:[0-9]+$')
+      THEN 1 ELSE 0 END) AS species_valid,
+  sum(CASE WHEN starts_with(id, 'Species:') AND NOT regexp_matches(id, '^Species:[0-9]+$')
+      THEN 1 ELSE 0 END) AS species_malformed
+FROM ids
+""",
+        "label_statistics": """
+WITH ids AS (
+  SELECT DISTINCT CASE c_custkey % 3
+    WHEN 0 THEN 'https://example.org/' || c_custkey
+    WHEN 1 THEN 'Gene:' || c_custkey
+    ELSE 'Keyword:k' || (c_custkey % 7) END AS id
+  FROM customer
+)
+SELECT CASE WHEN starts_with(id, 'http') THEN 'Article'
+            WHEN starts_with(id, 'Gene:') THEN 'gene'
+            ELSE 'Keyword' END AS label,
+       count(*) AS count
+FROM ids GROUP BY 1 ORDER BY 1
+""",
+        "disease_attribute_join": """
+WITH d AS (SELECT 'Disease:MESH:D' || n_nationkey AS disease_id FROM nation),
+ctd AS (SELECT 'Disease:MESH:D' || r_regionkey AS pid,
+               'Disease:MESH:D' || (r_regionkey + 5) AS a1,
+               'Disease:MESH:D' || (r_regionkey + 10) AS a2,
+               r_name AS nm FROM region),
+alt AS (SELECT a1 AS k, nm FROM ctd UNION ALL SELECT a2 AS k, nm FROM ctd)
+SELECT d.disease_id, coalesce(p.nm, a.nm) AS DiseaseName
+FROM d LEFT JOIN ctd p ON d.disease_id = p.pid
+       LEFT JOIN alt a ON d.disease_id = a.k AND p.nm IS NULL
+""",
+        "bioc_parse": """
+SELECT * FROM (VALUES
+  ('42', 'Alpha', 'Gene', '6647', 0, 5),
+  ('42', 'riluzole', 'Chemical', 'MESH:D000069337', 24, 8)
+) AS t(doc_id, surface, concept, norm_id, "offset", length)
 """,
     }

@@ -158,7 +158,12 @@ def _canon_map() -> dict[str, str]:
     )
 
 
-def generate_corpus(n_pages: int, seed: int = 42) -> Corpus:
+def generate_corpus(
+    n_pages: int,
+    seed: int = 42,
+    min_sentences: int = 2,
+    max_sentences: int = 5,
+) -> Corpus:
     """Generate ``n_pages`` synthetic web pages with planted facts.
 
     Each page gets 2-5 sentences; a sentence is either a relation
@@ -193,7 +198,7 @@ def generate_corpus(n_pages: int, seed: int = 42) -> Corpus:
                 triple_rows.append((url, "has_named_entity", cid))
                 mentions_here.append(cid)
 
-        n_sent = prng.randint(2, 5)
+        n_sent = prng.randint(min_sentences, max_sentences)
         for _ in range(n_sent):
             kind = prng.random()
             if kind < 0.45:

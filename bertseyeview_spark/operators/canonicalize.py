@@ -143,7 +143,9 @@ def similarity_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame,
+    max_iter: int = 25,
+    fixed_iterations: int | None = None,
 ) -> DataFrame:
     """Undirected pair rows (a, b) -> (entity_id, canonical_id).
 
@@ -154,7 +156,14 @@ def connected_components(
     lineage so round k doesn't replay rounds 1..k-1. Canonical = min
     string id in the component — deterministic regardless of
     partitioning, so local[8] == local[32].
+
+    ``fixed_iterations`` skips the per-round convergence-count job —
+    use when the caller knows the component diameter bound (e.g.
+    curation/alias merge clusters): fewer driver round-trips, same
+    result as long as fixed_iterations >= diameter.
     """
+    if fixed_iterations is not None:
+        max_iter = fixed_iterations
     edges = (
         pairs.select("a", "b")
         .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -184,16 +193,19 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
-            break
+        if fixed_iterations is None:
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), "id")
+                .where(F.col("n.comp") != F.col("o.comp"))
+                .limit(1)
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
     edges.unpersist()
     return comp.select(
         F.col("id").alias("entity_id"), F.col("comp").alias("canonical_id")
@@ -205,10 +217,17 @@ def build_canonical_map(
     curation_rules: DataFrame | None = None,
     alias_dict: DataFrame | None = None,
     threshold: float = 0.90,
+    fixed_cc_iterations: int | None = 8,
 ) -> DataFrame:
     """Union all pair sources, run CC, keep only rows that actually
     remap (entity_id != canonical_id) so the downstream join stays small
-    and broadcastable."""
+    and broadcastable.
+
+    Merge clusters from curation rules (depth-1 from->to maps) and
+    alias/embedding similarity are shallow; 8 fixed min-propagation
+    rounds cover diameter <= 8 without per-round convergence jobs.
+    Pass ``fixed_cc_iterations=None`` to fall back to convergence-
+    checked iteration for adversarial graphs."""
     sources = []
     if curation_rules is not None:
         sources.append(curation_pairs(curation_rules))
@@ -219,8 +238,50 @@ def build_canonical_map(
     pairs = sources[0]
     for s in sources[1:]:
         pairs = pairs.unionByName(s)
-    cc = connected_components(pairs)
+    cc = connected_components_auto(
+        spark, pairs, fixed_iterations=fixed_cc_iterations
+    )
     return cc.where(F.col("entity_id") != F.col("canonical_id"))
+
+
+# merge-pair graphs below this size run as driver-side union-find: the
+# distributed loop costs ~1-2s of stage latency per round, while a
+# million-pair union-find is milliseconds in-process. Above it, the
+# iterative DataFrame CC takes over (the 10^12-doc path).
+DRIVER_CC_MAX_PAIRS = 2_000_000
+
+
+def connected_components_auto(
+    spark: SparkSession,
+    pairs: DataFrame,
+    fixed_iterations: int | None = None,
+) -> DataFrame:
+    """Size-dispatched connected components: driver union-find for
+    small pair graphs, iterative min-label propagation otherwise.
+    Same output either way (canonical = min id in component)."""
+    sample = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
+    if len(sample) > DRIVER_CC_MAX_PAIRS:
+        return connected_components(pairs, fixed_iterations=fixed_iterations)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in sample:
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            # union by min id keeps the canonical deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    if not rows:
+        return spark.createDataFrame([], "entity_id string, canonical_id string")
+    return spark.createDataFrame(rows, "entity_id string, canonical_id string")
 
 
 def apply_canonical_map(edges: DataFrame, cmap: DataFrame) -> DataFrame:

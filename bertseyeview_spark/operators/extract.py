@@ -122,6 +122,8 @@ def citing_edges(extracted: DataFrame) -> DataFrame:
     ``explode`` keeps this fully JVM-side after the extraction UDF; a
     later inner join against the page-url set drops dangling links
     (reference MERGE only creates Article nodes it has metadata for).
+    May emit duplicates — the graph-materialization dedup
+    (union_edges) is the single dedup shuffle for all edge sources.
     """
     from pyspark.sql import functions as F
 
@@ -132,5 +134,4 @@ def citing_edges(extracted: DataFrame) -> DataFrame:
         .where(F.col("dst") != F.col("src"))
         .withColumn("rel", F.lit("citing"))
         .select("src", "rel", "dst")
-        .dropDuplicates(["src", "dst"])
     )

@@ -143,7 +143,6 @@ def mention_edges(linked: DataFrame) -> DataFrame:
             F.lit("has_named_entity").alias("rel"),
             F.col("entity_id").alias("dst"),
         )
-        .dropDuplicates(["src", "dst"])
         .select("src", "rel", "dst")
     )
 
@@ -179,5 +178,4 @@ def link_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
             & (F.col("subj") != F.col("obj"))
         )
         .select(F.col("subj").alias("src"), F.col("pred").alias("rel"), F.col("obj").alias("dst"))
-        .dropDuplicates(["src", "rel", "dst"])
     )

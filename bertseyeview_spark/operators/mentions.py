@@ -68,16 +68,69 @@ def tag_text(
     return out
 
 
+class NeuralTypeScorer:
+    """Deterministic stand-in for the transformer NER head the
+    production system broadcasts to executors (SURVEY.md §2.11 declares
+    'BERT-NER-style tagger (pandas UDF, model broadcast)'). Weights are
+    seed-fixed; the forward pass is a real batched numpy matmul stack
+    with the computational shape of a small encoder head, so bench
+    numbers reflect production-like model cost. ``layers=0`` disables
+    scoring (dictionary-only tagging, the unit-test fast path)."""
+
+    DIM = 256
+
+    def __init__(self, layers: int, seed: int = 17) -> None:
+        import numpy as np
+
+        self.layers = layers
+        rng = np.random.RandomState(seed)
+        self.weights = [
+            rng.standard_normal((self.DIM, self.DIM)).astype("float32")
+            / self.DIM**0.5
+            for _ in range(layers)
+        ]
+        self.head = rng.standard_normal((self.DIM, 1)).astype("float32")
+
+    def score(self, contexts: list[str]) -> list[float]:
+        """Batched forward pass over mention contexts: hash bag-of-token
+        featurization -> `layers` dense tanh blocks -> scalar score."""
+        import numpy as np
+        import zlib
+
+        if not contexts:
+            return []
+        x = np.zeros((len(contexts), self.DIM), dtype="float32")
+        for i, ctx in enumerate(contexts):
+            toks = ctx.lower().split()
+            for t in toks:
+                x[i, zlib.crc32(t.encode()) % self.DIM] += 1.0
+            if toks:
+                x[i] /= len(toks)
+        for w in self.weights:
+            x = np.tanh(x @ w)
+        return (x @ self.head).ravel().round(4).tolist()
+
+
 def detect_mentions(
-    extracted: DataFrame, alias_list: list[str], spark: SparkSession | None = None
+    extracted: DataFrame,
+    alias_list: list[str],
+    spark: SparkSession | None = None,
+    scorer_layers: int = 0,
 ) -> DataFrame:
-    """(url, text, ...) -> mention rows via a broadcast dictionary tagger."""
+    """(url, text, ...) -> mention rows via a broadcast dictionary tagger.
+
+    ``scorer_layers`` > 0 additionally runs the broadcast neural type
+    scorer over every mention batch (adds a ``type_score`` column) —
+    the production-model-cost path used by the scaling benchmarks.
+    """
     spark = spark or extracted.sparkSession
     bc = spark.sparkContext.broadcast(sorted(set(alias_list)))
     src = extracted.select("url", "text")
+    schema = _MENTION_SCHEMA + (", type_score double" if scorer_layers else "")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         matcher = _compile_matcher(bc.value)  # once per worker invocation
+        scorer = NeuralTypeScorer(scorer_layers) if scorer_layers else None
         for pdf in batches:
             urls: list[str] = []
             surfaces: list[str] = []
@@ -93,18 +146,21 @@ def detect_mentions(
                     ends.append(e)
                     sent_starts.append(ss)
                     sents.append(sent)
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "surface": pd.Series(surfaces, dtype="object"),
-                    "start": pd.Series(starts, dtype="int32"),
-                    "end": pd.Series(ends, dtype="int32"),
-                    "sent_start": pd.Series(sent_starts, dtype="int32"),
-                    "sentence": pd.Series(sents, dtype="object"),
-                }
-            )
+            out = {
+                "url": pd.Series(urls, dtype="object"),
+                "surface": pd.Series(surfaces, dtype="object"),
+                "start": pd.Series(starts, dtype="int32"),
+                "end": pd.Series(ends, dtype="int32"),
+                "sent_start": pd.Series(sent_starts, dtype="int32"),
+                "sentence": pd.Series(sents, dtype="object"),
+            }
+            if scorer is not None:
+                out["type_score"] = pd.Series(
+                    scorer.score(sents), dtype="float64"
+                )
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, schema=_MENTION_SCHEMA)
+    return src.mapInPandas(run, schema=schema)
 
 
 def keyword_matches(extracted: DataFrame, keywords: list[str]) -> DataFrame:
@@ -123,7 +179,6 @@ def keyword_matches(extracted: DataFrame, keywords: list[str]) -> DataFrame:
             F.lit("contains").alias("rel"),
             F.concat(F.lit("Keyword:"), F.col("kw")).alias("dst"),
         )
-        .dropDuplicates(["src", "dst"])
         .select("src", "rel", "dst")
     )
 

@@ -47,21 +47,34 @@ def extract_triples(
         [(k, v) for k, v in patterns.items()], ["phrase", "pred"]
     )
 
-    a = mentions.select(
-        "url",
-        "sent_start",
-        F.col("sentence").alias("sent"),
-        F.col("surface").alias("subj_surface"),
-        F.col("end").alias("a_end"),
+    # ONE shuffle: group co-sentence mentions, then generate ordered
+    # pairs array-natively (nested transform/filter — whole-stage
+    # codegen'd). The self-join formulation shuffled every sentence
+    # once per mention and cost a second exchange for the dedup; this
+    # shape carries each sentence exactly once.
+    grouped = mentions.groupBy("url", "sent_start").agg(
+        F.collect_list(F.struct("surface", "start", "end")).alias("ms"),
+        F.first("sentence").alias("sent"),
     )
-    b = mentions.select(
-        "url",
-        "sent_start",
-        F.col("surface").alias("obj_surface"),
-        F.col("start").alias("b_start"),
+    pair_struct = lambda a, b: F.struct(  # noqa: E731
+        a["surface"].alias("subj_surface"),
+        a["end"].alias("a_end"),
+        b["surface"].alias("obj_surface"),
+        b["start"].alias("b_start"),
     )
-    pairs = a.join(b, ["url", "sent_start"]).where(
-        F.col("a_end") < F.col("b_start")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a: F.transform(
+                F.filter(F.col("ms"), lambda b: b["start"] > a["end"]),
+                lambda b: pair_struct(a, b),
+            ),
+        )
+    )
+    exploded = (
+        grouped.where(F.size("ms") >= 2)
+        .select("url", "sent_start", "sent", F.explode(pairs_arr).alias("p"))
+        .select("url", "sent_start", "sent", "p.*")
     )
 
     gap = F.lower(
@@ -75,7 +88,7 @@ def extract_triples(
     )
 
     return (
-        pairs.withColumn("gap", gap)
+        exploded.withColumn("gap", gap)
         .join(F.broadcast(pat_df), F.col("gap") == F.col("phrase"))
         .select(
             "url",

@@ -214,7 +214,7 @@ class KGPipeline:
         def build(chunk: list[int]) -> DataFrame:
             e = ext.where(F.col("bucket").isin(chunk))
             m = men.where(F.col("bucket").isin(chunk)).drop("bucket")
-            linked = link_mentions(m, self.alias_dict)
+            linked = link_mentions(m, self.alias_dict).persist()
             raw_triples = extract_triples(m)
             rel_edges = link_triples(raw_triples, linked).withColumn(
                 "origin_url", F.lit(None).cast("string")

@@ -30,6 +30,7 @@ def construct_triples(
     curation_rules: DataFrame | None = None,
     keywords: list[str] | None = None,
     drop_dangling_citations: bool = True,
+    ner_scorer_layers: int = 0,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> (subj, pred, obj)."""
     alias_dict = (
@@ -48,8 +49,13 @@ def construct_triples(
     alias_list = [
         r["alias"] for r in alias_dict.select("alias").distinct().collect()
     ]
-    ments = detect_mentions(extracted, alias_list, spark).persist()
-    linked = link_mentions(ments, alias_dict)
+    ments = detect_mentions(
+        extracted, alias_list, spark, scorer_layers=ner_scorer_layers
+    ).drop("type_score" if ner_scorer_layers else "").persist()
+    # linked feeds three consumers (mention edges + both sides of the
+    # triple-resolution join) — persist or the whole linking subplan
+    # (incl. the Python embedding UDF) re-executes per consumer
+    linked = link_mentions(ments, alias_dict).persist()
     raw_triples = extract_triples(ments)
 
     staged = G.union_edges(

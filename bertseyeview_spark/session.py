@@ -33,6 +33,13 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so the bench harness can pin parallelism for the N-vs-4N scaling runs.
     """
+    # one BLAS thread per python worker: N workers x multithreaded
+    # numpy oversubscribes the box and ANTI-scales (measured: local[32]
+    # 2x slower than local[8] before this). Must be set before the JVM
+    # (and its forked python workers) start.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:

@@ -1,0 +1,166 @@
+"""Incremental / streaming execution (SURVEY.md §2.9).
+
+The reference has no true streaming — its manager polls PubMed every
+2s-60s, diffs an id ledger, and integrates only new articles
+(knowledge-graph-manager/__main__.py:1602-1641, ledger at :1356-1377).
+The Spark-first equivalent is **incremental batch as Structured
+Streaming**:
+
+* :func:`incremental_kg_ingest` — ``readStream`` over the pages table
+  directory with ``Trigger.AvailableNow`` (process everything new, then
+  stop), ``foreachBatch`` running the page-local KG stages and
+  appending edges; the streaming checkpoint directory IS the ledger —
+  a restart resumes exactly after the last committed batch, the
+  generalization of the reference's DOI ledger.
+* :func:`windowed_event_counts` — watermarked tumbling-window
+  aggregation (the standard late-data pattern).
+* :func:`sessionize_stream` — session windows with a watermark.
+* :func:`stateful_running_counts` — a custom stateful operator via
+  ``applyInPandasWithState`` (per-key running aggregates that survive
+  across micro-batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def incremental_kg_ingest(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    alias_dict: DataFrame,
+    keywords: list[str],
+) -> None:
+    """Process new page files since the last run, append their edges.
+
+    ``Trigger.AvailableNow`` drains the backlog then stops — the
+    scheduled-batch shape of the reference's poll loop with
+    exactly-once file tracking from the streaming checkpoint.
+    """
+    from ..operators.extract import citing_edges, extract_text
+    from ..operators.linking import link_mentions, mention_edges
+    from ..operators.mentions import detect_mentions, keyword_matches
+    from ..operators import graph as G
+
+    alias_list = [r["alias"] for r in alias_dict.select("alias").distinct().collect()]
+    edges_path = os.path.join(out_dir, "edges_staging")
+    ckpt = os.path.join(out_dir, "_checkpoint")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ext = extract_text(batch_df)
+        ments = detect_mentions(ext, alias_list, spark)
+        linked = link_mentions(ments, alias_dict)
+        staged = G.union_edges(
+            mention_edges(linked),
+            citing_edges(ext),
+            keyword_matches(ext, keywords),
+        )
+        staged.write.mode("append").parquet(edges_path)
+
+    q = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — works on a
+    streaming OR batch DataFrame (same plan, Catalyst handles both)."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+_STATE_SCHEMA = "total long, total_value double"
+_OUT_SCHEMA = "user_id long, total_events long, total_value double"
+
+
+def _running_counts_fn(key, pdf_iter, state):
+    """Per-user running totals kept in GroupState across micro-batches."""
+    import pandas as pd
+
+    if state.exists:
+        total, total_value = state.get
+    else:
+        total, total_value = 0, 0.0
+    for pdf in pdf_iter:
+        total += len(pdf)
+        total_value += float(pdf["value"].sum())
+    state.update((total, total_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "total_events": [total],
+            "total_value": [round(total_value, 4)],
+        }
+    )
+
+
+def stateful_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value sum via ``applyInPandasWithState`` (update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_counts_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

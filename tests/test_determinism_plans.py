@@ -1,0 +1,80 @@
+"""Determinism across parallelism + physical-plan quality gates.
+
+The north rule requires local[8] == local[32] for the triple set; in a
+shared test JVM we approximate parallelism changes by varying input
+partitioning and spark.sql.shuffle.partitions — the two knobs that
+change task boundaries — and assert the output set is identical.
+
+Plan-quality tests pin the physical properties the 100 TB design
+relies on: filters reach the parquet scan (PushedFilters), the alias
+dictionary joins as BroadcastHashJoin, and scans prune columns.
+"""
+
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.datagen import generate_corpus, pages_to_spark
+from bertseyeview_spark.plans.kg import construct_triples
+
+
+def _triple_set(spark, corpus, num_partitions, shuffle_partitions):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        pages = pages_to_spark(spark, corpus, num_partitions=num_partitions)
+        t = construct_triples(spark, pages)
+        return {(r["subj"], r["pred"], r["obj"]) for r in t.collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_triples_invariant_to_parallelism(spark):
+    corpus = generate_corpus(150, seed=11)
+    a = _triple_set(spark, corpus, num_partitions=2, shuffle_partitions=2)
+    b = _triple_set(spark, corpus, num_partitions=16, shuffle_partitions=32)
+    assert a == b
+    assert len(a) > 0
+
+
+def test_parquet_filter_pushdown_and_pruning(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)" in plan
+    # column pruning: the scan must read only the two needed columns
+    assert "o_totalprice" not in plan
+
+
+def test_alias_dict_join_is_broadcast(spark):
+    """The linking fast path must be a broadcast hash join — a shuffled
+    join on the mention table would be the scale bug."""
+    from bertseyeview_spark.datagen import alias_dict_to_spark, build_alias_dict
+    from bertseyeview_spark.operators.linking import link_mentions
+    from bertseyeview_spark.operators.mentions import detect_mentions
+    from bertseyeview_spark.operators.extract import extract_text
+
+    corpus = generate_corpus(30, seed=3)
+    pages = pages_to_spark(spark, corpus)
+    alias = alias_dict_to_spark(spark, build_alias_dict())
+    m = detect_mentions(extract_text(pages), ["sod1", "als"], spark)
+    linked = link_mentions(m, alias)
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_whole_stage_codegen_in_analytics(spark, sf_dir):
+    """Aggregation plans must stay inside WholeStageCodegen (no Python
+    in the hot path)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["top_entities"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the adaptive plan (no codegen markers pre-execution);
+    # assert the structural properties instead: JVM hash aggregation
+    # with a distributed top-k, no Python in the plan, broadcast join
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

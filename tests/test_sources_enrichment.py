@@ -1,0 +1,198 @@
+"""CSV interchange parity (S5/F4), enrichment expansion (G7/J6/A12),
+BioC parsing (S3/C13), node2vec walks (G2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.functions.bioc import (
+    parse_bioc_collection,
+    parse_bioc_column,
+    replace_with_fulltext_annotations,
+)
+from bertseyeview_spark.operators import enrichment as EN
+from bertseyeview_spark.operators.node2vec import (
+    build_adjacency,
+    generate_walks,
+    node2vec_embeddings,
+)
+from bertseyeview_spark.sources.csv_io import (
+    read_pipe_csv_with_row_guard,
+    sanitize_free_text,
+    write_pipe_csv,
+)
+
+
+class TestCsvInterchange:
+    def test_roundtrip_with_row_guard(self, spark, tmp_path):
+        cols = ["a", "b", "c"]
+        df = spark.createDataFrame(
+            [("1", "x|y", 'q"z'), ("2", "plain", "text")], cols
+        )
+        clean = sanitize_free_text(df, ["b", "c"])
+        out = str(tmp_path / "pipe")
+        write_pipe_csv(clean, out, cols)
+
+        # add a file with wrong-arity rows (reference F4 drops them);
+        # written as a fresh file — appending in place would invalidate
+        # Hadoop's .crc checksum sidecar
+        with open(out + "/extra.csv", "w") as f:
+            f.write("a|b|c\n")
+            f.write("3|only-two\n")
+            f.write("4|too|many|fields\n")
+
+        back = read_pipe_csv_with_row_guard(spark, out, cols)
+        rows = {r["a"]: (r["b"], r["c"]) for r in back.collect()}
+        assert rows == {"1": ("x;y", "qz"), "2": ("plain", "text")}
+
+
+class TestEnrichment:
+    def test_expand_gene_annotations(self, spark):
+        ann = spark.createDataFrame(
+            [
+                ("Gene:1", "go_bp", "GO:0001"),
+                ("Gene:1", "pathway_kegg", "hsa04010"),
+                ("Gene:2", "go_bp", "GO:0001"),
+                ("Gene:1", "unknown_cat", "X:1"),
+            ],
+            ["gene_id", "category", "term_id"],
+        )
+        nodes, edges = EN.expand_gene_annotations(ann)
+        n = {(r["id"], r["label"]) for r in nodes.collect()}
+        e = {(r["src"], r["rel"], r["dst"]) for r in edges.collect()}
+        assert ("GO:0001", "GO_BP") in n
+        assert ("hsa04010", "pathway_kegg") in n
+        assert ("X:1", "unknown_cat") not in {(a, b) for a, b in n}
+        assert ("GO:0001", "GO_BP_contains_gene", "Gene:1") in e
+        assert ("GO:0001", "GO_BP_contains_gene", "Gene:2") in e
+        assert ("hsa04010", "pathway_kegg_contains_gene", "Gene:1") in e
+
+    def test_disease_attribute_join_alt_fallback(self, spark):
+        diseases = spark.createDataFrame(
+            [("Disease:MESH:D1",), ("Disease:OMIM:9",), ("Disease:MESH:D404",)],
+            ["disease_id"],
+        )
+        ctd = spark.createDataFrame(
+            [
+                ("Disease:MESH:D1", "", "headache"),
+                ("Disease:MESH:D2", "Disease:OMIM:9|Disease:X:3", "fever"),
+            ],
+            ["DiseaseID", "AltDiseaseIDs", "DiseaseName"],
+        )
+        got = {r["disease_id"]: r["DiseaseName"] for r in
+               EN.disease_attribute_join(diseases, ctd).collect()}
+        assert got["Disease:MESH:D1"] == "headache"      # primary join
+        assert got["Disease:OMIM:9"] == "fever"          # alt-id fallback
+        assert got["Disease:MESH:D404"] is None          # no match kept
+
+    def test_malformed_id_tally(self, spark):
+        nodes = spark.createDataFrame(
+            [("Gene:123",), ("Gene:x",), ("Species:9606",),
+             ("Chemical:MESH:D1",), ("Chemical:OTHER:1",)],
+            ["id"],
+        )
+        r = EN.malformed_id_tally(nodes).collect()[0]
+        assert (r["gene_valid"], r["gene_malformed"]) == (1, 1)
+        assert (r["species_valid"], r["species_malformed"]) == (1, 0)
+        assert (r["chemical_valid"], r["chemical_malformed"]) == (1, 1)
+
+    def test_label_statistics(self, spark):
+        nodes = spark.createDataFrame(
+            [("a", "Article"), ("b", "Article"), ("Gene:1", "gene")],
+            ["id", "label"],
+        )
+        got = {r["label"]: r["count"] for r in EN.label_statistics(nodes).collect()}
+        assert got == {"Article": 2, "gene": 1}
+
+
+_BIOC = """<?xml version="1.0"?>
+<collection>
+  <document>
+    <id>555</id>
+    <passage>
+      <text>Title about SOD1.</text>
+      <annotation id="1">
+        <infon key="type">Gene</infon>
+        <infon key="identifier">6647</infon>
+        <location offset="12" length="4"/>
+        <text>SOD1</text>
+      </annotation>
+    </passage>
+    <passage>
+      <text>Full text mentions riluzole.</text>
+      <annotation id="2">
+        <infon key="type">Chemical</infon>
+        <infon key="identifier">MESH:D000069337</infon>
+        <location offset="37" length="8"/>
+        <text>riluzole</text>
+      </annotation>
+    </passage>
+  </document>
+</collection>"""
+
+
+class TestBioc:
+    def test_parse_collection(self):
+        docs = parse_bioc_collection(_BIOC)
+        assert len(docs) == 1
+        d = docs[0]
+        assert d["doc_id"] == "555"
+        assert d["text"] == "Title about SOD1.\nFull text mentions riluzole."
+        assert d["annotations"][0]["concept"] == "Gene"
+        assert d["annotations"][0]["norm_id"] == "6647"
+        assert d["annotations"][1]["surface"] == "riluzole"
+
+    def test_parse_column_and_replace(self, spark):
+        xml_df = spark.createDataFrame([(_BIOC,)], ["xml"])
+        ft = parse_bioc_column(xml_df, "xml")
+        got = ft.collect()[0]
+        assert got["doc_id"] == "555"
+        assert len(got["annotations"]) == 2
+
+        abstract = spark.createDataFrame(
+            [("555", [("SOD1", "Gene", "6647", 12, 4)]),
+             ("999", [("tnf", "Gene", "7124", 0, 3)])],
+            "doc_id string, annotations array<struct<surface:string, concept:string, norm_id:string, offset:int, length:int>>",
+        )
+        merged = replace_with_fulltext_annotations(abstract, ft)
+        by_id = {r["doc_id"]: r["annotations"] for r in merged.collect()}
+        assert len(by_id["555"]) == 2   # replaced with full text
+        assert len(by_id["999"]) == 1   # untouched
+
+
+class TestNode2vec:
+    def test_adjacency_sorted(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "c"), ("a", "b"), ("b", "c")], ["src", "dst"]
+        )
+        adj = {r["node"]: r["nbrs"] for r in build_adjacency(edges).collect()}
+        assert adj["a"] == ["b", "c"]
+        assert adj["c"] == ["a", "b"]
+
+    def test_walks_deterministic_and_connected(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+        )
+        w1 = {r["walk_key"]: r["walk"] for r in
+              generate_walks(edges, walks_per_node=2, walk_length=6, seed=9).collect()}
+        w2 = {r["walk_key"]: r["walk"] for r in
+              generate_walks(edges, walks_per_node=2, walk_length=6, seed=9).collect()}
+        assert w1 == w2
+        assert all(len(w) == 6 for w in w1.values())
+        # every consecutive pair must be a real (undirected) edge
+        und = {("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")}
+        und |= {(b, a) for a, b in und}
+        for walk in w1.values():
+            for x, y in zip(walk, walk[1:]):
+                assert (x, y) in und
+
+    def test_embeddings_shape(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")],
+            ["src", "dst"],
+        )
+        emb = node2vec_embeddings(
+            edges, dim=8, walks_per_node=4, walk_length=8, seed=1
+        )
+        rows = emb.collect()
+        assert {r["id"] for r in rows} == {"a", "b", "c", "d"}
+        assert all(len(r["embedding"]) == 8 for r in rows)
