@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E  # noqa: E402
 from bertseyeview_spark.datagen import generate_corpus, pages_to_spark  # noqa: E402
 from bertseyeview_spark.plans.kg import construct_triples  # noqa: E402
+from bertseyeview_spark.plans.kg_fused import construct_triples_fused  # noqa: E402
 from bertseyeview_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -73,10 +74,15 @@ def main() -> None:
     )
     pages = pages_to_spark(spark, corpus, num_partitions=cpus * 2).persist()
     pages.count()  # materialize input outside the timed window
+    # fused page-local plan by default (3 shuffles end-to-end);
+    # BENCH_KG_FUSED=0 benches the modular operator chain instead
+    build = (
+        construct_triples_fused
+        if os.environ.get("BENCH_KG_FUSED", "1") == "1"
+        else construct_triples
+    )
     t0 = time.time()
-    triples = construct_triples(
-        spark, pages, ner_scorer_layers=ner_layers
-    ).persist()
+    triples = build(spark, pages, ner_scorer_layers=ner_layers).persist()
     n_triples = triples.count()
     kg_sec = time.time() - t0
     timings["kg_construct"] = round(kg_sec, 3)

@@ -244,6 +244,90 @@ def build_canonical_map(
     return cc.where(F.col("entity_id") != F.col("canonical_id"))
 
 
+# dictionaries below this row count are canonicalized entirely on the
+# driver (one collect + numpy cosine + union-find) — the distributed
+# LSH/CC path costs several fixed seconds of stage latency that a
+# 10^4-entry dictionary never justifies
+DRIVER_SIM_MAX_ROWS = 50_000
+
+
+def build_canonical_map_auto(
+    spark: SparkSession,
+    curation_rules: DataFrame | None = None,
+    alias_dict: DataFrame | None = None,
+    threshold: float = 0.90,
+) -> DataFrame:
+    """Size-dispatched :func:`build_canonical_map`: small dictionaries
+    run as one collect + exact numpy cosine + union-find; large ones
+    take the distributed LSH + connected-components path. Same output."""
+    import numpy as np
+
+    if alias_dict is None:
+        return build_canonical_map(spark, curation_rules, alias_dict, threshold)
+    rows = alias_dict.select("alias", "entity_id", "embedding").limit(
+        DRIVER_SIM_MAX_ROWS + 1
+    ).collect()
+    if len(rows) > DRIVER_SIM_MAX_ROWS:
+        return build_canonical_map(spark, curation_rules, alias_dict, threshold)
+
+    pairs: list[tuple[str, str]] = []
+    if curation_rules is not None:
+        for r in curation_rules.collect():
+            if r["method"] in ("merge", "rename"):
+                pairs.append((r["from_id"], r["to_id"]))
+
+    ents = [
+        (r["alias"], r["entity_id"], np.asarray(r["embedding"] or [], dtype=float))
+        for r in rows
+        if r["entity_id"] != "Null"
+    ]
+    # (b) shared alias + cosine
+    by_alias: dict[str, list[tuple[str, np.ndarray]]] = {}
+    for alias, eid, emb in ents:
+        by_alias.setdefault(alias, []).append((eid, emb))
+    for cands in by_alias.values():
+        for i in range(len(cands)):
+            for j in range(i + 1, len(cands)):
+                a, ea = cands[i]
+                b, eb = cands[j]
+                if a != b and ea.size and eb.size and float(ea @ eb) >= threshold:
+                    pairs.append((a, b))
+    # (c) exact cosine among entity representatives (min alias per id)
+    reps: dict[str, tuple[str, np.ndarray]] = {}
+    for alias, eid, emb in ents:
+        if emb.size and (eid not in reps or alias < reps[eid][0]):
+            reps[eid] = (alias, emb)
+    ids = sorted(reps)
+    if ids:
+        mat = np.stack([reps[i][1] for i in ids])
+        sims = mat @ mat.T
+        ii, jj = np.where(sims >= threshold)
+        for i, j in zip(ii, jj):
+            if i < j:
+                pairs.append((ids[i], ids[j]))
+
+    # union-find, canonical = min id
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent if find(n) != n]
+    if not out:
+        return spark.createDataFrame([], "entity_id string, canonical_id string")
+    return spark.createDataFrame(out, "entity_id string, canonical_id string")
+
+
 # merge-pair graphs below this size run as driver-side union-find: the
 # distributed loop costs ~1-2s of stage latency per round, while a
 # million-pair union-find is milliseconds in-process. Above it, the

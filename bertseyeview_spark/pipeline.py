@@ -243,7 +243,7 @@ class KGPipeline:
         single-shot stages (stage-level lineage via directory presence)."""
         staged = self._read("edges_staging").select("src", "rel", "dst")
 
-        cmap = canon.build_canonical_map(
+        cmap = canon.build_canonical_map_auto(
             self.spark,
             curation_rules=self.curation_rules,
             alias_dict=self.alias_dict,
@@ -251,11 +251,19 @@ class KGPipeline:
         edges = canon.apply_canonical_map(G.cleanup_null_nodes(staged), cmap)
 
         # drop citing edges whose target page is not in the corpus
-        # (reference only MERGEs articles it has metadata for)
-        pages_urls = self._read("extract").select(F.col("url").alias("dst"))
-        cit = edges.where(F.col("rel") == "citing").join(pages_urls, "dst", "semi")
-        rest = edges.where(F.col("rel") != "citing")
-        edges = rest.unionByName(cit.select("src", "rel", "dst"))
+        # (reference only MERGEs articles it has metadata for) —
+        # single-pass left-join filter, not a union of branches
+        pages_urls = (
+            self._read("extract")
+            .select(F.col("url").alias("dst"))
+            .distinct()
+            .withColumn("_in_corpus", F.lit(True))
+        )
+        edges = (
+            edges.join(pages_urls, "dst", "left")
+            .where((F.col("rel") != "citing") | F.col("_in_corpus").isNotNull())
+            .select("src", "rel", "dst")
+        )
 
         edges.write.mode("overwrite").parquet(self._path("edges"))
         edges = self._read("edges")

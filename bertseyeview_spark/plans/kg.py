@@ -64,15 +64,20 @@ def construct_triples(
         keyword_matches(extracted, keywords),
         link_triples(raw_triples, linked),
     )
-    cmap = canon.build_canonical_map(
+    cmap = canon.build_canonical_map_auto(
         spark, curation_rules=curation_rules, alias_dict=alias_dict
     )
     edges = canon.apply_canonical_map(G.cleanup_null_nodes(staged), cmap)
     if drop_dangling_citations:
-        urls = extracted.select(F.col("url").alias("dst"))
-        cit = edges.where(F.col("rel") == "citing").join(urls, "dst", "semi")
-        edges = edges.where(F.col("rel") != "citing").unionByName(
-            cit.select("src", "rel", "dst")
+        # single-pass filter (rel != citing OR dst in corpus) — a union
+        # of branches would execute the whole upstream subtree twice
+        urls = extracted.select(F.col("url").alias("dst")).distinct().withColumn(
+            "_in_corpus", F.lit(True)
+        )
+        edges = (
+            edges.join(urls, "dst", "left")
+            .where((F.col("rel") != "citing") | F.col("_in_corpus").isNotNull())
+            .select("src", "rel", "dst")
         )
     return edges.select(
         F.col("src").alias("subj"),

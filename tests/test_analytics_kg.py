@@ -1,0 +1,104 @@
+"""Analytics over the engine's own KG output (reference read-path
+semantics end-to-end): label abundance on mention edges with the
+skewed hub entity, top-articles citation metric, against pure-python
+oracles computed from the same edge sets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.datagen import generate_corpus, pages_to_spark
+from bertseyeview_spark.operators import analytics as A
+from bertseyeview_spark.plans.kg import construct_triples
+
+
+@pytest.fixture(scope="module")
+def kg(spark):
+    corpus = generate_corpus(250, seed=23)
+    pages = pages_to_spark(spark, corpus, num_partitions=8)
+    triples = construct_triples(spark, pages).persist()
+    triples.count()
+    return corpus, triples
+
+
+def test_label_abundance_on_kg(spark, kg):
+    corpus, triples = kg
+    mentions = triples.where(F.col("pred") == "has_named_entity").select(
+        F.col("subj").alias("article"), F.col("obj").alias("entity")
+    )
+    articles = mentions.select("article").distinct()
+    # subset: articles mentioning the hub entity (a realistic cohort)
+    subset = mentions.where(
+        F.col("entity") == "Disease:MESH:D009369"
+    ).select("article").distinct()
+
+    got = {
+        r["entity"]: r
+        for r in A.label_abundance(
+            mentions, articles, subset, min_mentions=5
+        ).collect()
+    }
+
+    # python oracle from the same triple set
+    rows = [
+        (t.subj, t.obj)
+        for t in corpus.expected_triples.itertuples(index=False)
+        if t.pred == "has_named_entity"
+    ]
+    n_articles = len({a for a, _ in rows})
+    sub = {a for a, e in rows if e == "Disease:MESH:D009369"}
+    n_sub = len(sub)
+    from collections import Counter
+
+    absolute = Counter(e for _, e in rows)
+    observed = Counter(e for a, e in rows if a in sub)
+    for entity, r in got.items():
+        assert r["absolute_mentions"] == absolute[entity]
+        assert r["absolute_subset_mentions_1"] == observed[entity]
+        expected = absolute[entity] / n_articles
+        rel = observed[entity] / n_sub
+        assert r["score"] == pytest.approx(round(rel / expected, 4))
+    # hub entity itself must score max (its subset is its own mentioners)
+    assert max(got, key=lambda e: got[e]["score"]) == "Disease:MESH:D009369"
+
+
+def test_salted_equals_plain_on_skewed_kg(spark, kg):
+    _, triples = kg
+    mentions = triples.where(F.col("pred") == "has_named_entity").select(
+        F.col("subj").alias("article"), F.col("obj").alias("entity")
+    )
+    plain = {
+        r["entity"]: r["count_mentions"]
+        for r in A.top_entities(mentions, top_n=100).collect()
+    }
+    salted = {
+        r["entity"]: r["count_mentions"]
+        for r in A.top_entities(mentions, top_n=100, salt_partitions=16).collect()
+    }
+    assert plain == salted
+
+
+def test_top_articles_on_kg(spark, kg):
+    corpus, triples = kg
+    citing = triples.where(F.col("pred") == "citing").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    all_articles = citing.select(F.col("src").alias("article")).union(
+        citing.select(F.col("dst").alias("article"))
+    ).distinct()
+    got = A.top_n_articles(
+        citing, all_articles, weight_mention=100, top_n=5, metric_norm=False
+    ).collect()
+    # celebrity page (page 0) is linked from ~20% of pages -> top by metric
+    assert got[0]["article"] == "https://example.org/page/00000000"
+    # oracle: count_all == in-degree over the expected citing set
+    cit = [
+        (t.subj, t.obj)
+        for t in corpus.expected_triples.itertuples(index=False)
+        if t.pred == "citing"
+    ]
+    indeg = {}
+    for _, dst in cit:
+        indeg[dst] = indeg.get(dst, 0) + 1
+    for r in got:
+        assert r["count_all"] == indeg[r["article"]]
+        assert r["count_metric"] == r["count_all"] + 100 * r["count_target"]
