@@ -75,7 +75,9 @@ def label_abundance(
       score = (relative_2 / expected) / score_1      (numerator unrounded,
       denominator the *rounded* score_1 — reference quirk, H:482-486).
     """
-    m = mentions.select("article", "entity")
+    # three consumers (absolute, subset-1, optionally subset-2 counts)
+    # read the mention set — cache it once
+    m = mentions.select("article", "entity").persist()
 
     count_articles = articles.agg(F.count("*").alias("count_articles"))
     count_subset_1 = subset_1.agg(F.count("*").alias("count_subset_1"))

@@ -163,7 +163,17 @@ def minhash_lsh_pairs(
     num_perm=32, bands=8 (r=4), the S-curve crosses ~0.7 — standard
     public MinHash-LSH parameterization."""
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # one shingle pass feeds both signatures and candidate verification
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sigs = (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"))
+    )
     banded = sigs.select(
         "id",
         F.explode(
@@ -193,8 +203,7 @@ def minhash_lsh_pairs(
         .dropDuplicates()
     )
 
-    # verify candidates with exact Jaccard (join back to shingle sets)
-    sh = shingle_table(df, id_col, text_col, n)
+    # verify candidates with exact Jaccard (reuses the cached shingles)
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a_sh = sh.withColumnRenamed("id", "id_a")
     b_sh = sh.withColumnRenamed("id", "id_b")

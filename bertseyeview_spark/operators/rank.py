@@ -76,7 +76,7 @@ def article_rank(
 
     ranks = vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ranks.join(norm, "id")
             .where(F.col("out_deg") > 0)
@@ -85,17 +85,17 @@ def article_rank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("w").alias("incoming"))
         )
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = vertices.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # checkpoint every few rounds: enough to keep lineage flat,
+        # without paying a materialization job per iteration
+        if it % 4 == 3 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
 
     e.unpersist()
     vertices.unpersist()
