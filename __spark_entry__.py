@@ -31,7 +31,8 @@ from bertseyeview_spark.operators.canonicalize import connected_components  # no
 from bertseyeview_spark.operators.graph import node_label_expr  # noqa: E402
 from bertseyeview_spark.operators.node2vec import generate_walks  # noqa: E402
 from bertseyeview_spark.operators.rank import article_rank  # noqa: E402
-from bertseyeview_spark.plans.kg import construct_triples, documents_as_pages  # noqa: E402
+from bertseyeview_spark.plans.kg import documents_as_pages  # noqa: E402
+from bertseyeview_spark.plans.kg_fused import construct_triples_fused  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # shared constants (documents-table dictionary; vocabulary is the
@@ -79,9 +80,11 @@ def _empty_curation(spark: SparkSession) -> DataFrame:
 def q_kg_construct_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: documents -> pages shape -> extract -> NER -> link ->
     canonicalize -> (subj, pred, obj). Oracle-checkable because the
-    dictionary is unambiguous and no merges apply on this corpus."""
+    dictionary is unambiguous and no merges apply on this corpus.
+    Uses the fused single-Arrow-pass plan (plans/kg_fused.py); parity
+    with the modular operator chain is pinned by tests/test_kg_fused.py."""
     pages = documents_as_pages(spark, _t(spark, sf_dir, "documents"))
-    return construct_triples(
+    return construct_triples_fused(
         spark,
         pages,
         alias_dict=_doc_alias_dict(spark),
