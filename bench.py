@@ -50,7 +50,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_pages = int(os.environ.get("BENCH_KG_PAGES", "4000"))
+    n_pages = int(os.environ.get("BENCH_KG_PAGES", "20000"))
     # sentences per page: "lo,hi" — the compute-density knob (heavy pages
     # make the scaling runs compute-dominant, like real web documents)
     sent_lo, sent_hi = (

@@ -186,24 +186,33 @@ def parse_pubtator_block(block: str) -> tuple[str, str, str, list[tuple[str, str
     return pmid, title, abstract, rows
 
 
+_ANN_HEAD = re.compile(r"^[A-Za-z]+:[^;,|]*;")
+
+
 def parse_annotation_string(encoded: str, bioconcepts: list[str] | None = None):
     """Inverse codec: encoded string -> list of (concept, norm_id,
     surface, bioconcept) structs. Used to keep data *structured* inside
-    the engine (SURVEY.md §1.4) and serialize only at boundaries."""
+    the engine (SURVEY.md §1.4) and serialize only at boundaries.
+
+    The reference format is not comma-safe — surface forms may contain
+    commas ('cognitive, behavioral, and motor dysfunction' in the
+    committed golden). A ','-segment that does not start with a
+    ``Type:Id;`` head is therefore a continuation of the previous
+    surface, not a new annotation.
+    """
     bioconcepts = bioconcepts or BIOCONCEPTS
     out = []
     for concept_slot, chunk in zip(bioconcepts, encoded.split("|")):
         if chunk == "Null" or not chunk:
             continue
         for item in chunk.split(","):
-            if ";" not in item:
-                continue
-            head, surface = item.split(";", 1)
-            if ":" not in head:
-                continue
-            concept, norm_id = head.split(":", 1)
-            out.append((concept, norm_id, surface, concept_slot))
-    return out
+            if _ANN_HEAD.match(item):
+                head, surface = item.split(";", 1)
+                concept, norm_id = head.split(":", 1)
+                out.append([concept, norm_id, surface, concept_slot])
+            elif out:
+                out[-1][2] += "," + item  # comma belonged to the surface
+    return [tuple(x) for x in out]
 
 
 # ---------------------------------------------------------------------------
