@@ -298,6 +298,42 @@ def age_columns(df, epubdate_col: str, integration_col: str):
 
 
 # ---------------------------------------------------------------------------
+# article-level annotation serializer (reference interchange output)
+# ---------------------------------------------------------------------------
+
+def article_annotation_strings(linked_mentions):
+    """Linked mentions (url, surface, start, entity_id) -> one row per
+    article with the reference's encoded annotation string
+    (__main__.py:377-430 format; byte-parity pinned by the golden
+    roundtrip test). Document order = mention start offset; entity ids
+    split on the first ':' into (concept, normalized id). Runs as
+    ``applyInPandas`` per url — the serializer is the output boundary,
+    structured data stays structured upstream (SURVEY.md §1.4)."""
+    import pandas as pd
+
+    def per_article(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["start", "surface"], kind="mergesort")
+        rows = []
+        for surface, eid in zip(pdf["surface"], pdf["entity_id"]):
+            if eid == "Null" or ":" not in eid:
+                continue
+            concept, norm_id = eid.split(":", 1)
+            rows.append((surface, concept, norm_id))
+        return pd.DataFrame(
+            {
+                "url": [pdf["url"].iloc[0]],
+                "annotations": [build_annotation_string(rows)],
+            }
+        )
+
+    return (
+        linked_mentions.select("url", "surface", "start", "entity_id")
+        .groupBy("url")
+        .applyInPandas(per_article, schema="url string, annotations string")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pandas-UDF twins (factories — a pandas_udf needs an active session,
 # so decoration is deferred to call time)
 # ---------------------------------------------------------------------------

@@ -238,6 +238,38 @@ class KGPipeline:
 
         self._run_bucketed_stage("edges_staging", build, fail_after_chunks)
 
+    def run_fused_stage_edges(
+        self, pages: DataFrame, fail_after_chunks: int | None = None
+    ) -> None:
+        """Fused alternative to run_mentions + run_link_and_stage_edges:
+        the single-Arrow-pass plan (plans/kg_fused.py) emits the staged
+        edge table straight from pages, bucketed for resume. The
+        extract stage still runs separately — its checkpointed text is
+        the byte-identity oracle and the corpus-url set."""
+        from .plans.kg_fused import construct_triples_fused
+
+        src = pages.withColumn("bucket", bucket_expr("url", self.n_buckets))
+
+        def build(chunk: list[int]) -> DataFrame:
+            subset = src.where(F.col("bucket").isin(chunk)).drop("bucket")
+            staged = construct_triples_fused(
+                self.spark,
+                subset,
+                alias_dict=self.alias_dict,
+                curation_rules=self.curation_rules,
+                keywords=self.keywords,
+                # canonicalization + corpus filtering happen globally
+                drop_dangling_citations=False,
+                canonicalize=False,
+            ).select(
+                F.col("subj").alias("src"),
+                F.col("pred").alias("rel"),
+                F.col("obj").alias("dst"),
+            )
+            return staged.withColumn("bucket", bucket_expr("src", self.n_buckets))
+
+        self._run_bucketed_stage("edges_staging", build, fail_after_chunks)
+
     def run_global(self) -> dict[str, DataFrame]:
         """E5-E7: canonicalize, materialize nodes/edges, rank. Global
         single-shot stages (stage-level lineage via directory presence)."""
@@ -279,10 +311,16 @@ class KGPipeline:
         )
         return {"edges": edges, "nodes": self._read("nodes")}
 
-    def run_all(self, pages: DataFrame) -> dict[str, DataFrame]:
+    def run_all(self, pages: DataFrame, fused: bool = False) -> dict[str, DataFrame]:
+        """``fused=True`` runs the page-local work as the single-Arrow-
+        pass plan (2 bucketed stages instead of 3); the modular path
+        keeps per-stage mention/link tables inspectable."""
         self.run_extract(pages)
-        self.run_mentions()
-        self.run_link_and_stage_edges()
+        if fused:
+            self.run_fused_stage_edges(pages)
+        else:
+            self.run_mentions()
+            self.run_link_and_stage_edges()
         return self.run_global()
 
     # ---------------- outputs ----------------

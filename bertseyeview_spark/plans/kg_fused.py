@@ -145,8 +145,13 @@ def construct_triples_fused(
     patterns: dict[str, str] | None = None,
     drop_dangling_citations: bool = True,
     ner_scorer_layers: int = 0,
+    canonicalize: bool = True,
 ) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) -> (subj, pred, obj)."""
+    """pages(url, warc_ts, html, text, lang) -> (subj, pred, obj).
+
+    ``canonicalize=False`` skips the canonical-map build/apply — used
+    when a caller (e.g. the checkpointed pipeline) canonicalizes once
+    globally instead of per chunk."""
     alias_df = (
         alias_dict
         if alias_dict is not None
@@ -219,10 +224,13 @@ def construct_triples_fused(
     )
     staged = G.cleanup_null_nodes(staged).dropDuplicates(["src", "rel", "dst"])
 
-    cmap = canon.build_canonical_map_auto(
-        spark, curation_rules=curation_rules, alias_dict=alias_df
-    )
-    edges = canon.apply_canonical_map(staged, cmap)
+    if canonicalize:
+        cmap = canon.build_canonical_map_auto(
+            spark, curation_rules=curation_rules, alias_dict=alias_df
+        )
+        edges = canon.apply_canonical_map(staged, cmap)
+    else:
+        edges = staged
     if drop_dangling_citations:
         # single-pass filter (rel != citing OR dst in corpus) via one
         # left join — a union of two branches over the same subtree

@@ -147,3 +147,35 @@ class TestValidatorsSpark:
         assert out[0]["age_in_days"] == 59
         assert out[0]["age_in_months"] == 2
         assert out[1]["age_in_days"] is None
+
+
+class TestArticleAnnotationStrings:
+    def test_serializer_format(self, spark):
+        from bertseyeview_spark.functions.codecs import (
+            article_annotation_strings,
+            parse_annotation_string,
+        )
+
+        linked = spark.createDataFrame(
+            [
+                ("u1", "sod1", 10, "Gene:6647"),
+                ("u1", "als", 30, "Disease:MESH:D000690"),
+                ("u1", "sod1", 50, "Gene:6647"),      # dup -> first-win
+                ("u1", "junk", 60, "Null"),            # dropped
+                ("u2", "riluzole", 5, "Chemical:MESH:D000069337"),
+            ],
+            ["url", "surface", "start", "entity_id"],
+        )
+        got = {
+            r["url"]: r["annotations"]
+            for r in article_annotation_strings(linked).collect()
+        }
+        assert got["u1"] == (
+            "Gene:6647;sod1|Disease:MESH:D000690;als|Null|Null|Null|Null"
+        )
+        assert got["u2"] == (
+            "Null|Null|Chemical:MESH:D000069337;riluzole|Null|Null|Null"
+        )
+        # roundtrip through the inverse codec
+        parsed = parse_annotation_string(got["u1"])
+        assert ("Gene", "6647", "sod1", "gene") in parsed
