@@ -191,6 +191,43 @@ def q_top_articles_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_abundance_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 jump join driver-graded: 'pathway'-like entities (p_type)
+    reach articles (orders) only through genes (p_brand):
+    (p_type)->(p_brand)<-(order). Then the A3/A4 abundance math."""
+    part = _t(spark, sf_dir, "part")
+    link_edges = (
+        part.select(F.col("p_type").alias("src"), F.lit("contains_gene").alias("rel"),
+                    F.col("p_brand").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    gene_mentions = _order_brand_mentions(spark, sf_dir)  # (article, entity=p_brand)
+    jumped = A.jump_mentions(link_edges, gene_mentions).dropDuplicates()
+    articles = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("article"))
+    s1 = _segment_orders(spark, sf_dir, "BUILDING")
+    return A.label_abundance(jumped, articles, s1, min_mentions=10)
+
+
+def q_topk_articles_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2.5: per-group top-k as a window (the scale optimization
+    the reference lacks): top-3 orders by o_totalprice per p_brand."""
+    from pyspark.sql import Window
+
+    m = _order_brand_mentions(spark, sf_dir)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("article"), "o_totalprice"
+    )
+    w = Window.partitionBy("entity").orderBy(
+        F.desc("o_totalprice"), F.asc("article")
+    )
+    return (
+        m.join(o, "article")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(F.col("entity").alias("p_brand"), "article", "o_totalprice", "rk")
+    )
+
+
 def q_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _order_brand_mentions(spark, sf_dir)
     return A.top_entities(m, top_n=10).withColumnRenamed("entity", "p_brand")
@@ -601,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dictionary_mention_topk": q_dictionary_mention_topk,
         "label_abundance": q_label_abundance,
         "label_abundance_two_groups": q_label_abundance_two_groups,
+        "label_abundance_jump": q_label_abundance_jump,
+        "topk_articles_per_entity": q_topk_articles_per_entity,
         "top_articles_citations": q_top_articles_citations,
         "top_entities": q_top_entities,
         "salted_top_entities": q_salted_top_entities,
@@ -735,6 +774,36 @@ SELECT entity,
   a2 * 1.0 / n2.n AS relative_subset_mentions_2
 FROM am JOIN o1 USING (entity) JOIN o2 USING (entity), tot, n1, n2
 WHERE absolute_mentions > 10
+""",
+        "label_abundance_jump": """
+WITH gm AS (SELECT DISTINCT l_orderkey AS article, p_brand AS gene
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+le AS (SELECT DISTINCT p_type AS entity, p_brand AS gene FROM part),
+m AS (SELECT DISTINCT gm.article, le.entity FROM gm JOIN le USING (gene)),
+tot AS (SELECT count(*) n FROM orders),
+s1 AS (SELECT o_orderkey AS article FROM orders
+       JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'),
+n1 AS (SELECT count(*) n FROM s1),
+am AS (SELECT entity, count(*) absolute_mentions FROM m GROUP BY 1),
+o1 AS (SELECT entity, count(*) a1 FROM m
+       WHERE article IN (SELECT article FROM s1) GROUP BY 1)
+SELECT entity,
+  round((a1 * 1.0 / n1.n) / (absolute_mentions * 1.0 / tot.n), 4) AS score,
+  absolute_mentions,
+  absolute_mentions * 1.0 / tot.n AS expected_mentions,
+  a1 AS absolute_subset_mentions_1,
+  a1 * 1.0 / n1.n AS relative_subset_mentions_1
+FROM am JOIN o1 USING (entity), tot, n1
+WHERE absolute_mentions > 10
+""",
+        "topk_articles_per_entity": """
+WITH m AS (SELECT DISTINCT l_orderkey AS article, p_brand
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+j AS (SELECT m.p_brand, m.article, o.o_totalprice
+      FROM m JOIN orders o ON m.article = o.o_orderkey),
+r AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+        ORDER BY o_totalprice DESC, article) AS rk FROM j)
+SELECT p_brand, article, o_totalprice, rk FROM r WHERE rk <= 3
 """,
         "top_articles_citations": """
 WITH e AS (SELECT c_custkey AS src, (c_custkey * 7919 + 13) % 1500 AS dst

@@ -78,11 +78,15 @@ _NULL_ALIASES = {"unknown entity"}
 
 _KEYWORDS = ["therapy", "biomarker", "clinical trial", "prognosis"]
 
-_RELATION_PATTERNS: list[tuple[str, str]] = [
-    (" interacts with ", "interacts_with"),
-    (" is associated with ", "associated_with"),
-    (" inhibits ", "inhibits"),
-    (" treats ", "treats"),
+# (phrase, predicate, inverted) — inverted phrases are passive voice:
+# "B is inhibited by A" plants the triple (A, inhibits, B)
+_RELATION_PATTERNS: list[tuple[str, str, bool]] = [
+    (" interacts with ", "interacts_with", False),
+    (" is associated with ", "associated_with", False),
+    (" inhibits ", "inhibits", False),
+    (" treats ", "treats", False),
+    (" is inhibited by ", "inhibits", True),
+    (" is treated with ", "treats", True),
 ]
 
 _BOILERPLATE_NAV = "Home | About | Contact | Privacy Policy | Terms of Service"
@@ -208,13 +212,17 @@ def generate_corpus(
                 bid, _, bal = ent_by_idx[b_idx]
                 asurf = aal[prng.randrange(len(aal))]
                 bsurf = bal[prng.randrange(len(bal))]
-                phrase, pred = _RELATION_PATTERNS[prng.randrange(len(_RELATION_PATTERNS))]
+                phrase, pred, inverted = _RELATION_PATTERNS[
+                    prng.randrange(len(_RELATION_PATTERNS))
+                ]
                 sentences.append(f"{asurf.capitalize()}{phrase}{bsurf}.")
                 plant_mention(aid, asurf)
                 plant_mention(bid, bsurf)
                 ca, cb = canon.get(aid, aid), canon.get(bid, bid)
                 if ca != cb:
-                    triple_rows.append((ca, pred, cb))
+                    triple_rows.append(
+                        (cb, pred, ca) if inverted else (ca, pred, cb)
+                    )
             elif kind < 0.70:
                 # plain mention sentence
                 eidx = prng.randrange(len(ent_by_idx))

@@ -19,14 +19,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# connecting-phrase -> predicate; a config table in a real deployment,
-# tiny and broadcast either way.
-DEFAULT_PATTERNS: dict[str, str] = {
+# connecting-phrase -> predicate or (predicate, inverted); a config
+# table in a real deployment, tiny and broadcast either way. Inverted
+# patterns are passive-voice forms: "B is inhibited by A" yields
+# (A, inhibits, B).
+DEFAULT_PATTERNS: dict[str, str | tuple[str, bool]] = {
     "interacts with": "interacts_with",
     "is associated with": "associated_with",
     "inhibits": "inhibits",
     "treats": "treats",
+    "is inhibited by": ("inhibits", True),
+    "is treated with": ("treats", True),
 }
+
+
+def normalize_patterns(
+    patterns: dict[str, str | tuple[str, bool]],
+) -> dict[str, tuple[str, bool]]:
+    return {
+        k: (v, False) if isinstance(v, str) else (v[0], bool(v[1]))
+        for k, v in patterns.items()
+    }
 
 
 def extract_triples(
@@ -41,10 +54,11 @@ def extract_triples(
     is exact even when a surface repeats within the sentence. Sentences
     hold few mentions, so the ordered-pair blow-up is bounded.
     """
-    patterns = patterns or DEFAULT_PATTERNS
+    norm = normalize_patterns(patterns or DEFAULT_PATTERNS)
     spark = mentions.sparkSession
     pat_df = spark.createDataFrame(
-        [(k, v) for k, v in patterns.items()], ["phrase", "pred"]
+        [(k, p, inv) for k, (p, inv) in norm.items()],
+        "phrase string, pred string, inverted boolean",
     )
 
     # ONE shuffle: group co-sentence mentions, then generate ordered
@@ -92,9 +106,15 @@ def extract_triples(
         .join(F.broadcast(pat_df), F.col("gap") == F.col("phrase"))
         .select(
             "url",
-            "subj_surface",
+            # passive patterns flip direction: textual order (A ... B)
+            # encodes (B, pred, A)
+            F.when(F.col("inverted"), F.col("obj_surface"))
+            .otherwise(F.col("subj_surface"))
+            .alias("subj_surface"),
             "pred",
-            "obj_surface",
+            F.when(F.col("inverted"), F.col("subj_surface"))
+            .otherwise(F.col("obj_surface"))
+            .alias("obj_surface"),
             F.col("sent").alias("sentence"),
         )
         .dropDuplicates(["url", "subj_surface", "pred", "obj_surface"])

@@ -45,7 +45,7 @@ from ..operators import canonicalize as canon
 from ..operators import graph as G
 from ..operators.extract import extract_one
 from ..operators.mentions import NeuralTypeScorer, _compile_matcher, tag_text
-from ..operators.triples import DEFAULT_PATTERNS
+from ..operators.triples import DEFAULT_PATTERNS, normalize_patterns
 
 _KEYWORDS_DEFAULT = ["therapy", "biomarker", "clinical trial", "prognosis"]
 
@@ -130,9 +130,11 @@ def _page_edges(
                 if a[1] >= b[0]:
                     continue
                 gap = sentence[a[1] - sent_start : b[0] - sent_start].strip().lower()
-                pred = patterns.get(gap)
-                if pred and a[3] != "Null" and b[3] != "Null" and a[3] != b[3]:
-                    out.append((a[3], pred, b[3]))
+                hit = patterns.get(gap)
+                if hit and a[3] != "Null" and b[3] != "Null" and a[3] != b[3]:
+                    pred, inverted = hit
+                    s, o = (b[3], a[3]) if inverted else (a[3], b[3])
+                    out.append((s, pred, o))
     return out
 
 
@@ -163,7 +165,7 @@ def construct_triples_fused(
         else spark.createDataFrame(build_curation_rules())
     )
     keywords = keywords or _KEYWORDS_DEFAULT
-    patterns = patterns or DEFAULT_PATTERNS
+    patterns = normalize_patterns(patterns or DEFAULT_PATTERNS)
 
     # broadcast the dictionary as plain python (model-broadcast pattern)
     alias_rows = alias_df.select("alias", "entity_id", "embedding").collect()
