@@ -59,14 +59,14 @@ def main() -> None:
     # extraction/NER/linking stages (the 100 TB hot path) dominate the
     # fixed per-job latency of local mode
     pages = int(os.environ.get("SCALING_KG_PAGES", "20000"))
-    sentences = os.environ.get("SCALING_KG_SENTENCES", "12,20")
-    ner_layers = int(os.environ.get("SCALING_KG_NER_LAYERS", "64"))
+    sentences = os.environ.get("SCALING_KG_SENTENCES", "14,22")
+    ner_layers = int(os.environ.get("SCALING_KG_NER_LAYERS", "96"))
     n_cores = int(os.environ.get("SCALING_N_CORES", "2"))
     n4_cores = 4 * n_cores
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # hypervisor steal makes single runs +-15% noisy; report best-of-N
     # per level (standard practice for wall-clock benchmarks)
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    reps = int(os.environ.get("SCALING_REPS", "3"))
 
     def best(cpus: int) -> dict:
         runs = [
