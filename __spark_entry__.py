@@ -26,6 +26,7 @@ from bertseyeview_spark.operators import multimodal as MM  # noqa: E402
 from bertseyeview_spark.operators import similarity as SIM  # noqa: E402
 from bertseyeview_spark.operators import textquality as TQ  # noqa: E402
 from bertseyeview_spark.functions.bioc import parse_bioc_column  # noqa: E402
+from bertseyeview_spark.operators.asof import asof_join  # noqa: E402
 from bertseyeview_spark.operators import enrichment as EN  # noqa: E402
 from bertseyeview_spark.operators.canonicalize import connected_components  # noqa: E402
 from bertseyeview_spark.operators.graph import node_label_expr  # noqa: E402
@@ -534,6 +535,49 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal operator Spark lacks natively): each click
+    event picks up the most recent signup value at or before it, per
+    user. Union-marker implementation; DuckDB's native ASOF JOIN is
+    the oracle."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # unique (key, ts) on the right
+    )
+    out = asof_join(clicks, signups, on="user_id", ts="ts", right_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "value_asof")
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (nation, order priority): subtotal + grand-total rows."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
@@ -707,6 +751,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "revenue_rollup": q_revenue_rollup,
+        "asof_join": q_asof_join,
+        "distinct_counts": q_distinct_counts,
+        "pivot_returnflag": q_pivot_returnflag,
         "top_entities": q_top_entities,
         "salted_top_entities": q_salted_top_entities,
         "degree_count_topk": q_degree_count_topk,
@@ -911,6 +958,32 @@ WHERE c_mktsegment = 'BUILDING'
   AND l_shipdate > TIMESTAMP '1996-01-01'
 GROUP BY 1, 2, 3
 ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        "asof_join": """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+signups AS (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_type = 'signup' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, s.value AS value_asof
+FROM clicks c ASOF LEFT JOIN signups s
+  ON c.user_id = s.user_id AND c.ts >= s.ts
+""",
+        "distinct_counts": """
+SELECT o_orderpriority,
+  count(DISTINCT l_partkey) AS n_parts,
+  count(DISTINCT l_suppkey) AS n_suppliers,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+        "pivot_returnflag": """
+SELECT l_returnflag,
+  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY 1
 """,
         "revenue_rollup": """
 SELECT n_name, o_orderpriority,
