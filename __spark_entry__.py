@@ -364,10 +364,19 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: signature bits are engine-specific (crc32-folded);
-    # parity vs a pure-python oracle is covered in tests/test_dedup.py
-    return D.simhash_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=6
+    """SimHash candidates (hamming banding, engine-side crc32 bits) +
+    exact n-gram-Jaccard verify. The hamming budget (10) saturates
+    recall at this SF (every true Jaccard>=0.8 pair is a candidate —
+    measured), so the output equals the exact-SQL Jaccard join and the
+    oracle grades it without replaying the signature bits; raw-signature
+    parity vs a pure-python simhash is pinned in pytest."""
+    return D.simhash_verified_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_hamming=10,
+        n=3,
+        threshold=0.8,
     )
 
 
@@ -378,12 +387,16 @@ def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: approximate by construction; recall vs brute force is
-    # asserted in tests/test_similarity.py
+    """LSH-bucketed ANN with exact cosine re-rank. Band parameters
+    (12 planes, 1-bit bands) saturate recall at this SF — measured
+    candidates ⊇ true top-k — so the re-ranked output equals the
+    brute-force top-k and the oracle is the exact SQL; sub-saturating
+    band settings (the 100 TB configuration) are recall-tested in
+    tests/test_dedup_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5)
+    queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
     return SIM.lsh_ann_topk(
-        emb, queries, "vec_id", "embedding", dim=64, k=10, n_planes=12, bands=6
+        emb, queries, "vec_id", "embedding", dim=64, k=10, n_planes=12, bands=12
     )
 
 
@@ -414,8 +427,8 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: 61-bit polynomial rolling hash (python bigint arithmetic);
-    # parity vs pure-python oracle in tests/test_textquality.py
+    # 61-bit polynomial rolling hash over code points; the oracle
+    # replays it in DuckDB as a HUGEINT list_reduce fold
     return TQ.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -718,15 +731,18 @@ def q_bioc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: deterministic walks (hash-seeded), but the neighbor-
-    # choice hash (xxhash64) is engine-specific; structural invariants
-    # are asserted in tests/test_sources_enrichment.py
+    """Deterministic hash-seeded walks with the portable (md5) neighbor-
+    choice hash, so the DuckDB oracle replays every step exactly (the
+    default engine hash is xxhash64 — faster, same algorithm; its
+    structural invariants are pinned in tests/test_sources_enrichment.py)."""
     n = _t(spark, sf_dir, "nation")
     edges = n.select(
         F.concat(F.lit("N"), F.col("n_nationkey").cast("string")).alias("src"),
         F.concat(F.lit("R"), F.col("n_regionkey").cast("string")).alias("dst"),
     )
-    walks = generate_walks(edges, walks_per_node=4, walk_length=8, seed=7)
+    walks = generate_walks(
+        edges, walks_per_node=4, walk_length=8, seed=7, portable_hash=True
+    )
     return walks.select("walk_key", F.array_join("walk", ">").alias("walk_path"))
 
 
@@ -830,6 +846,70 @@ SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
 FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {thr}
 """
+
+    # ---- kg_pagerank: article_rank (rank.py) unrolled to 10 fixed
+    # iterations of chained CTEs; literals use the exact repr of the
+    # Python floats the engine feeds Catalyst (1.0-0.85 is NOT 0.15 in
+    # IEEE754) so both engines fold the identical doubles.
+    damping = 0.85
+    base = repr(1.0 - damping)
+    iters = 10
+    pr = [
+        """
+WITH e AS (SELECT DISTINCT c_custkey AS src,
+                  (c_custkey * 7919 + 13) % 1500 AS dst FROM customer),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+norm AS (
+  SELECT v.id, coalesce(od.out_deg, 0) AS out_deg,
+         1.0 / (coalesce(od.out_deg, 0) + (SELECT avg(out_deg) FROM od))
+           AS inv_norm
+  FROM v LEFT JOIN od USING (id)),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v)"""
+    ]
+    for i in range(1, iters + 1):
+        pr.append(
+            f""",
+r{i} AS (
+  SELECT v.id, {base} + {damping!r} * coalesce(c.incoming, 0.0) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * n.inv_norm) AS incoming
+    FROM r{i - 1} r JOIN norm n ON r.id = n.id AND n.out_deg > 0
+    JOIN e ON r.id = e.src
+    GROUP BY e.dst) c ON v.id = c.id)"""
+        )
+    pr.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
+    pagerank_sql = "".join(pr)
+
+    # ---- random_walks: replay generate_walks(portable_hash=True) —
+    # md5-derived neighbor choice over sorted adjacency, 7 unrolled steps
+    wseed, wlen, wpn = 7, 8, 4
+    wk = [
+        f"""
+WITH e0 AS (SELECT DISTINCT 'N' || n_nationkey::VARCHAR AS src,
+                   'R' || n_regionkey::VARCHAR AS dst FROM nation),
+eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+adj AS (SELECT src AS node, list_sort(list(dst)) AS nbrs FROM eu GROUP BY src),
+w0 AS (
+  SELECT node || '#' || wi::VARCHAR AS walk_key, wi, node AS cur, [node] AS walk
+  FROM adj, (SELECT unnest(range({wpn}))::INT AS wi))"""
+    ]
+    for s in range(1, wlen):
+        wk.append(
+            f""",
+w{s} AS (
+  SELECT walk_key, wi, nxt AS cur, list_append(walk, nxt) AS walk
+  FROM (
+    SELECT w.walk_key, w.wi, w.walk,
+      a.nbrs[1 + (('0x' || substr(md5(w.cur || '#' || w.wi::VARCHAR
+        || '#{s}#{wseed}'), 1, 8))::BIGINT % len(a.nbrs))::INT] AS nxt
+    FROM w{s - 1} w JOIN adj a ON w.cur = a.node))"""
+        )
+    wk.append(
+        f"""
+SELECT walk_key, array_to_string(walk, '>') AS walk_path FROM w{wlen - 1}"""
+    )
+    walks_sql = "".join(wk)
 
     return {
         "kg_construct_triples": _kg_oracle(),
@@ -1054,6 +1134,39 @@ SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents GROUP BY text
 """,
         "ngram_jaccard_dedup": jaccard_cte.format(thr="0.5"),
         "minhash_lsh_dedup": jaccard_cte.format(thr="0.8"),
+        # simhash candidates + exact verify == exact Jaccard set (the
+        # hamming budget saturates recall at this SF; see q_simhash_dedup)
+        "simhash_dedup": jaccard_cte.format(thr="0.8"),
+        "doc_fingerprint": """
+SELECT doc_id AS id,
+  CASE WHEN length(text) = 0 THEN 0
+    ELSE (list_reduce(
+      list_transform(regexp_extract_all(text, '(?s).'), c -> unicode(c)::HUGEINT),
+      (acc, cp) -> (acc * 131 + cp) % 2305843009213693951::HUGEINT
+    ))::BIGINT END AS fingerprint
+FROM documents
+""",
+        "embedding_ann_lsh": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id >= 5 AND vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+       * sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * e.v[i]))))
+      AS cs
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 10
+""",
+        "kg_pagerank": pagerank_sql,
+        "random_walks": walks_sql,
         "embedding_topk_cosine": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
@@ -1108,10 +1221,11 @@ FROM documents
 """,
         "token_counts_by_source": """
 SELECT source,
-  sum(CASE WHEN length(trim(text)) = 0 THEN 0
-      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
-  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
-    AS total_bpe_tokens
+  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+    AS total_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+    AS BIGINT) AS total_bpe_tokens
 FROM documents GROUP BY source
 """,
         "multimodal_meta": """
@@ -1174,20 +1288,21 @@ WITH ids AS (
   FROM customer
 )
 SELECT
-  sum(CASE WHEN starts_with(id, 'Gene:') AND regexp_matches(id, '^Gene:[0-9]+$')
-      THEN 1 ELSE 0 END) AS gene_valid,
-  sum(CASE WHEN starts_with(id, 'Gene:') AND NOT regexp_matches(id, '^Gene:[0-9]+$')
-      THEN 1 ELSE 0 END) AS gene_malformed,
-  sum(CASE WHEN starts_with(id, 'Disease:') THEN 1 ELSE 0 END) AS disease_valid,
-  0 AS disease_malformed,
-  sum(CASE WHEN starts_with(id, 'Chemical:') AND starts_with(id, 'Chemical:MESH:')
-      THEN 1 ELSE 0 END) AS chemical_valid,
-  sum(CASE WHEN starts_with(id, 'Chemical:') AND NOT starts_with(id, 'Chemical:MESH:')
-      THEN 1 ELSE 0 END) AS chemical_malformed,
-  sum(CASE WHEN starts_with(id, 'Species:') AND regexp_matches(id, '^Species:[0-9]+$')
-      THEN 1 ELSE 0 END) AS species_valid,
-  sum(CASE WHEN starts_with(id, 'Species:') AND NOT regexp_matches(id, '^Species:[0-9]+$')
-      THEN 1 ELSE 0 END) AS species_malformed
+  CAST(sum(CASE WHEN starts_with(id, 'Gene:') AND regexp_matches(id, '^Gene:[0-9]+$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS gene_valid,
+  CAST(sum(CASE WHEN starts_with(id, 'Gene:') AND NOT regexp_matches(id, '^Gene:[0-9]+$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS gene_malformed,
+  CAST(sum(CASE WHEN starts_with(id, 'Disease:') THEN 1 ELSE 0 END) AS BIGINT)
+    AS disease_valid,
+  CAST(0 AS BIGINT) AS disease_malformed,
+  CAST(sum(CASE WHEN starts_with(id, 'Chemical:') AND starts_with(id, 'Chemical:MESH:')
+      THEN 1 ELSE 0 END) AS BIGINT) AS chemical_valid,
+  CAST(sum(CASE WHEN starts_with(id, 'Chemical:') AND NOT starts_with(id, 'Chemical:MESH:')
+      THEN 1 ELSE 0 END) AS BIGINT) AS chemical_malformed,
+  CAST(sum(CASE WHEN starts_with(id, 'Species:') AND regexp_matches(id, '^Species:[0-9]+$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS species_valid,
+  CAST(sum(CASE WHEN starts_with(id, 'Species:') AND NOT regexp_matches(id, '^Species:[0-9]+$')
+      THEN 1 ELSE 0 END) AS BIGINT) AS species_malformed
 FROM ids
 """,
         "label_statistics": """

@@ -41,29 +41,53 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in (on, ts)
     ]
-    l = left.withColumn("_marker", F.lit(1))
-    r = right.select(
-        on,
-        ts,
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-    ).withColumn("_marker", F.lit(0))
-
+    # Row-atomic semantics: pack the right payload into ONE struct and take
+    # a single last(ignorenulls) over it, so the matched right row is
+    # attached whole — per-column last() would let a NULL payload field
+    # blend values from different right rows (diverges from merge_asof /
+    # SQL ASOF JOIN). NULL-ts right rows are dropped up front: SQL ASOF's
+    # ts >= comparison never matches NULL, and Spark's nulls-first asc sort
+    # would otherwise leak them to every left row.
+    r = (
+        right.where(F.col(ts).isNotNull())
+        .select(
+            on,
+            ts,
+            F.struct(*[F.col(c) for c in right_cols]).alias("_payload"),
+        )
+        .withColumn("_marker", F.lit(0))
+    )
+    payload_type = r.schema["_payload"].dataType
+    l = left.withColumn("_marker", F.lit(1)).withColumn(
+        "_payload", F.lit(None).cast(payload_type)
+    )
     for c in left.columns:
-        if c not in (on, ts) and c not in r.columns:
+        if c not in r.columns:
             r = r.withColumn(c, F.lit(None))
-    for c in r.columns:
-        if c not in l.columns:
-            l = l.withColumn(c, F.lit(None))
 
     unioned = l.unionByName(r.select(*l.columns))
+    # Ordering: (ts, marker) puts right rows before left rows at equal ts
+    # (tie resolves to "match"); the struct itself is the final tiebreak so
+    # duplicate (key, ts) right rows pick a deterministic winner (max
+    # payload) instead of a partition-order-dependent one. Right payload
+    # fields must therefore be orderable types (no maps).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_marker").asc())
+        .orderBy(
+            F.col(ts).asc(), F.col("_marker").asc(), F.col("_payload").asc()
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in right_cols:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+    matched = unioned.withColumn(
+        "_match", F.last("_payload", ignorenulls=True).over(w)
+    )
+    return (
+        matched.where(F.col("_marker") == 1)
+        .select(
+            *left.columns,
+            *[
+                F.col("_match").getField(c).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
         )
-    return out.where(F.col("_marker") == 1).drop("_marker")
+    )

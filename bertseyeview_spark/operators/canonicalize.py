@@ -89,7 +89,10 @@ def _dot(a, b):
 
 
 def similarity_pairs(
-    alias_dict: DataFrame, threshold: float = 0.90, use_lsh: bool = True
+    alias_dict: DataFrame,
+    threshold: float = 0.90,
+    use_lsh: bool = True,
+    max_alias_freq: int = 64,
 ) -> DataFrame:
     """Merge-candidate pairs among canonical entity ids.
 
@@ -100,15 +103,29 @@ def similarity_pairs(
     Embeddings in the dictionary are unit-norm, so cosine == dot.
     At 10^8 dictionary entries the LSH path shuffles only
     (band, sig)-bucketed candidates instead of the full cross join.
+
+    ``max_alias_freq`` caps the shared-alias self-join: an alias mapped
+    to f entity ids yields f^2 candidate rows, and at web scale a single
+    stopword-like surface (f ~ 10^5) would dominate the whole shuffle.
+    Aliases above the cap are excluded from path (b) — they are exactly
+    the surfaces too ambiguous to justify a merge, and genuinely
+    duplicate ids they cover are still caught by the LSH path (c).
     """
     ents = (
         alias_dict.where(F.col("entity_id") != "Null")
         .select("alias", "entity_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
 
-    # (b) shared alias
-    l = ents.select("alias", F.col("entity_id").alias("a"), F.col("emb").alias("ea"))
-    r = ents.select("alias", F.col("entity_id").alias("b"), F.col("emb").alias("eb"))
+    # (b) shared alias, frequency-capped (see docstring)
+    freq_ok = (
+        ents.groupBy("alias")
+        .agg(F.count("*").alias("_f"))
+        .where(F.col("_f") <= max_alias_freq)
+        .select("alias")
+    )
+    capped = ents.join(F.broadcast(freq_ok), "alias", "left_semi")
+    l = capped.select("alias", F.col("entity_id").alias("a"), F.col("emb").alias("ea"))
+    r = capped.select("alias", F.col("entity_id").alias("b"), F.col("emb").alias("eb"))
     shared = (
         l.join(r, "alias")
         .where(F.col("a") < F.col("b"))
@@ -342,10 +359,19 @@ def connected_components_auto(
 ) -> DataFrame:
     """Size-dispatched connected components: driver union-find for
     small pair graphs, iterative min-label propagation otherwise.
-    Same output either way (canonical = min id in component)."""
-    sample = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).collect()
-    if len(sample) > DRIVER_CC_MAX_PAIRS:
-        return connected_components(pairs, fixed_iterations=fixed_iterations)
+    Same output either way (canonical = min id in component).
+
+    The dispatch probe is a limit+count (a few bytes back to the
+    driver); the pairs only travel to the driver after the probe has
+    proven they fit — never pull O(data) rows just to decide."""
+    pairs = pairs.persist()
+    n = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).count()
+    if n > DRIVER_CC_MAX_PAIRS:
+        out = connected_components(pairs, fixed_iterations=fixed_iterations)
+        pairs.unpersist()
+        return out
+    sample = pairs.collect()
+    pairs.unpersist()
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:

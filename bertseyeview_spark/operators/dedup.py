@@ -83,13 +83,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
     ``max_shingle_freq`` drops ubiquitous shingles (boilerplate) before
     the self-join — the skew guard: a shingle appearing in f docs
     yields f^2 candidate rows, so capping f bounds the join blow-up.
+    Default-ON (1000): at web scale one boilerplate shingle otherwise
+    makes the self-join quadratic. Capped shingles still count toward
+    set sizes, so Jaccard can only under-estimate for pairs whose
+    overlap was mostly boilerplate — the desired bias for dedup. Pass
+    ``None`` to disable (exact semantics, e.g. vs a SQL oracle on data
+    known shingle-skew-free). ``log_dropped=True`` runs one extra count
+    job and prints how many ubiquitous shingles were excluded (no
+    silent caps at scale).
     """
     sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
@@ -102,6 +111,17 @@ def ngram_jaccard_pairs(
             .where(F.col("f") <= max_shingle_freq)
             .select("shingle")
         )
+        if log_dropped:
+            n_dropped = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("f"))
+                .where(F.col("f") > max_shingle_freq)
+                .count()
+            )
+            print(
+                f"[ngram_jaccard_pairs] dropped {n_dropped} shingles "
+                f"with doc-frequency > {max_shingle_freq}"
+            )
         joinable = sh.join(freq_ok, "shingle", "semi")
 
     a = joinable.select(F.col("id").alias("id_a"), "shingle")
@@ -300,4 +320,59 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 10,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SimHash-bucketed near-dup pairs with an exact n-gram-Jaccard
+    verify: candidates = :func:`simhash_pairs` (hamming banding prunes
+    the quadratic space), output = candidates whose exact word-n-gram
+    Jaccard >= threshold, as (id_a, id_b, jaccard).
+
+    This is the production dedup shape — cheap bitwise candidate
+    generation, exact verification only on the pruned set. It is also
+    what makes the operator oracle-checkable: when the hamming budget
+    saturates recall (every true Jaccard>=t pair is a candidate —
+    asserted at the test SF), the output equals the exact-SQL Jaccard
+    join, so an ANSI oracle can grade it without replaying crc32."""
+    cands = simhash_pairs(df, id_col, text_col, max_hamming).select(
+        "id_a", "id_b"
+    )
+    sh = shingle_table(df, id_col, text_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
+    a_sh = sh.withColumnRenamed("id", "id_a")
+    b_sh = sh.withColumnRenamed("id", "id_b")
+    common = (
+        cands.join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

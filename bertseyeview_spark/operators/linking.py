@@ -99,8 +99,6 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
         "entity_type",
         F.col("embedding").cast("array<double>").alias("cand_emb"),
     )
-    ambi_aliases = [r["alias"] for r in ambi.select("alias").distinct().collect()]
-
     out_cols = [
         "url", "surface", "start", "end", "sentence", "entity_id", "entity_type",
     ]
@@ -110,11 +108,16 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
         F.broadcast(uniq), mentions["surface"] == uniq["alias"]
     ).select(*out_cols)
 
-    if not ambi_aliases:
+    # ambi derives from the broadcast-small alias dict, so this emptiness
+    # probe is cheap; the alias *values* never travel to the driver — at
+    # web scale an ambiguous-surface list can be millions of entries, so
+    # the slow-path filter below is a broadcast LEFT SEMI join, not isin().
+    if ambi.isEmpty():
         return fast
 
     # slow path — only mentions with ambiguous surfaces are embedded
-    slow_src = mentions.where(F.col("surface").isin(ambi_aliases))
+    ambi_surfaces = ambi.select(F.col("alias").alias("surface")).distinct()
+    slow_src = mentions.join(F.broadcast(ambi_surfaces), "surface", "left_semi")
     slow_emb = embed_text_column(slow_src, "sentence", "ctx_emb")
     scored = (
         slow_emb.join(F.broadcast(ambi), slow_emb["surface"] == ambi["alias"])
@@ -147,13 +150,17 @@ def mention_edges(linked: DataFrame) -> DataFrame:
     )
 
 
-def link_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
+def link_triples(
+    triples: DataFrame, linked: DataFrame, keep_url: bool = False
+) -> DataFrame:
     """Resolve (subj_surface, pred, obj_surface) to canonical-id triples
     using the *sentence-level* linking result: joining on
     (url, sentence, surface) keeps disambiguation decisions consistent
     with the context in which the triple was extracted, and is
     deterministic (identical surfaces in one sentence share one context,
-    hence one link)."""
+    hence one link). ``keep_url=True`` adds ``origin_url`` (the page the
+    triple was extracted from) — the pipeline partitions its staging
+    table by origin bucket for idempotent chunk commits."""
     lk = linked.select("url", "sentence", "surface", "entity_id").dropDuplicates(
         ["url", "sentence", "surface"]
     )
@@ -169,6 +176,13 @@ def link_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
         F.col("surface").alias("obj_surface"),
         F.col("entity_id").alias("obj"),
     )
+    out_cols = [
+        F.col("subj").alias("src"),
+        F.col("pred").alias("rel"),
+        F.col("obj").alias("dst"),
+    ]
+    if keep_url:
+        out_cols.append(F.col("url").alias("origin_url"))
     return (
         triples.join(subj, ["url", "sentence", "subj_surface"])
         .join(obj, ["url", "sentence", "obj_surface"])
@@ -177,5 +191,5 @@ def link_triples(triples: DataFrame, linked: DataFrame) -> DataFrame:
             & (F.col("obj") != "Null")
             & (F.col("subj") != F.col("obj"))
         )
-        .select(F.col("subj").alias("src"), F.col("pred").alias("rel"), F.col("obj").alias("dst"))
+        .select(*out_cols)
     )

@@ -16,15 +16,27 @@ walk "sentences" — both distributed, both deterministic:
   reproducible per-partitioning — embeddings feed viz/similarity, not
   the scored triple set, so bit-parity is not required there).
 
-First-order walks (p=q=1). True node2vec bias (return/in-out factors)
-would carry the previous edge through the same join — noted, not
-needed for triple P/R.
+Walks are first-order by default (p=q=1, one adjacency join/step).
+Passing ``p``/``q`` != 1 enables true node2vec second-order bias
+(reference returnFactor/inOutFactor 0.9, neo4j_helper.py:1663): the
+previous node is carried through the walk join, the previous node's
+adjacency is joined a second time, and each neighbor x of cur gets
+weight 1/p if x == prev (return), 1 if x is a neighbor of prev
+(distance 1), else 1/q (distance 2) — the standard node2vec transition.
+The weighted choice is a deterministic hash-uniform draw resolved by a
+JVM-side cumulative-weight fold (``F.aggregate`` over the weight
+array), so biased walks are also bit-identical at any parallelism.
+
+``portable_hash=True`` swaps xxhash64 for ``conv(substr(md5(key),1,8),
+16,10)`` — slower, but byte-reproducible in ANSI SQL engines (DuckDB),
+which is what the driver's random-walk oracle replays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.ml.functions import vector_to_array
 
 
 def build_adjacency(edges: DataFrame, undirected: bool = True) -> DataFrame:
@@ -40,6 +52,56 @@ def build_adjacency(edges: DataFrame, undirected: bool = True) -> DataFrame:
     )
 
 
+def _step_hash(step: int, seed: int, portable: bool) -> Column:
+    """Deterministic non-negative 64-bit hash of (cur, walk_i, step, seed).
+    portable=True uses md5 (first 8 hex digits -> int in [0, 2^32)),
+    replayable verbatim in DuckDB; default is JVM xxhash64."""
+    if portable:
+        key = F.concat_ws(
+            "#",
+            F.col("cur"),
+            F.col("walk_i").cast("string"),
+            F.lit(str(step)),
+            F.lit(str(seed)),
+        )
+        return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return F.xxhash64(F.col("cur"), F.col("walk_i"), F.lit(step), F.lit(seed))
+
+
+def _weighted_pick_expr(weights_sql: str, u01_sql: str) -> Column:
+    """1-based index of the first element whose cumulative weight reaches
+    u01 * total — a linear JVM fold (no Python, no RNG state). The
+    size-of-array fallback guards the FP edge where the final cumsum
+    lands a hair under the target.
+
+    Written as one SQL expression with explicit lambda variable names:
+    composing pyspark higher-order-function Columns (aggregate over a
+    transform, with a captured aggregate as the target) trips a lambda
+    variable-capture bug when Catalyst's projection collapse inlines one
+    copy into another — two copies of the same pick expression evaluated
+    to different indices inside a single Project. Unique names (_bw/_bi/
+    _bacc/_bs) keep every binding unambiguous after substitution."""
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with({weights_sql}, sequence(1, size({weights_sql})),
+                   (_bw, _bi) -> struct(_bw AS w, _bi AS i)),
+          struct(CAST(0.0 AS DOUBLE) AS cum, -1 AS pick,
+                 CAST(({u01_sql}) * aggregate({weights_sql},
+                     CAST(0.0 AS DOUBLE), (_ba, _bx) -> _ba + _bx)
+                   AS DOUBLE) AS tgt),
+          (_bacc, _bs) -> CASE WHEN _bacc.pick >= 1 THEN _bacc ELSE
+            struct(_bacc.cum + _bs.w AS cum,
+                   CASE WHEN _bacc.cum + _bs.w >= _bacc.tgt
+                        THEN _bs.i ELSE -1 END AS pick,
+                   _bacc.tgt AS tgt) END,
+          _bacc -> CASE WHEN _bacc.pick >= 1 THEN _bacc.pick
+                        ELSE size({weights_sql}) END
+        )
+        """
+    )
+
+
 def generate_walks(
     edges: DataFrame,
     walks_per_node: int = 10,
@@ -47,11 +109,17 @@ def generate_walks(
     seed: int = 42,
     undirected: bool = True,
     checkpoint_every: int = 5,
+    p: float = 1.0,
+    q: float = 1.0,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """-> (walk_key, walk array<string>): walks_per_node walks of up to
     walk_length nodes from every node. Each step is one equi-join of
     the frontier against the adjacency table (both hash-partitioned on
-    the node key, so consecutive steps reuse the exchange)."""
+    the node key, so consecutive steps reuse the exchange). p/q != 1
+    adds a second adjacency join per step (the previous node's
+    neighborhood) for node2vec return/in-out bias."""
+    biased = not (p == 1.0 and q == 1.0)
     adj = build_adjacency(edges, undirected).persist()
 
     starts = adj.select("node").crossJoin(
@@ -65,35 +133,69 @@ def generate_walks(
         F.concat_ws("#", "node", "walk_i").alias("walk_key"),
         F.col("walk_i"),
         F.col("node").alias("cur"),
+        F.lit(None).cast("string").alias("prev"),
         F.array("node").alias("walk"),
     ).localCheckpoint()
 
+    adj_prev = adj.select(
+        F.col("node").alias("_pnode"), F.col("nbrs").alias("prev_nbrs")
+    )
+
     for step in range(1, walk_length):
-        nxt_idx = (
-            F.pmod(
-                F.xxhash64(F.col("cur"), F.col("walk_i"), F.lit(step), F.lit(seed)),
-                F.size("nbrs"),
+        if portable_hash:
+            hash_sql = (
+                "CAST(conv(substring(md5(concat_ws('#', cur, "
+                f"CAST(walk_i AS STRING), '{step}', '{seed}')), 1, 8), "
+                "16, 10) AS BIGINT)"
             )
-            + F.lit(1)
-        ).cast("int")
-        walks = (
-            walks.join(adj, walks["cur"] == adj["node"], "left")
-            .select(
-                "walk_key",
-                "walk_i",
-                F.when(
-                    F.col("nbrs").isNotNull(), F.element_at("nbrs", nxt_idx)
-                )
-                .otherwise(F.col("cur"))
-                .alias("cur"),
-                F.when(
-                    F.col("nbrs").isNotNull(),
-                    F.concat("walk", F.array(F.element_at("nbrs", nxt_idx))),
-                )
-                .otherwise(F.col("walk"))
-                .alias("walk"),
+        else:
+            hash_sql = f"xxhash64(cur, walk_i, {step}, {seed})"
+        if biased:
+            # node2vec transition weights over cur's sorted neighbors:
+            # 1/p return, 1 if distance-1 from prev, 1/q otherwise.
+            weights_sql = (
+                "transform(nbrs, _bn -> CASE "
+                f"WHEN _bn = prev THEN CAST({1.0 / p!r} AS DOUBLE) "
+                "WHEN array_contains(coalesce(prev_nbrs, "
+                "CAST(array() AS ARRAY<STRING>)), _bn) THEN 1.0D "
+                f"ELSE CAST({1.0 / q!r} AS DOUBLE) END)"
             )
-        )
+            u01_sql = (
+                f"CAST(pmod({hash_sql}, 2147483648) AS DOUBLE)"
+                " / 2147483648.0D"
+            )
+            nxt_idx = _weighted_pick_expr(weights_sql, u01_sql).cast("int")
+            stepped = walks.join(
+                adj, walks["cur"] == adj["node"], "left"
+            ).join(adj_prev, walks["prev"] == F.col("_pnode"), "left")
+        else:
+            nxt_idx = (
+                F.pmod(F.expr(hash_sql), F.size("nbrs")) + F.lit(1)
+            ).cast("int")
+            stepped = walks.join(adj, walks["cur"] == adj["node"], "left")
+        walks = stepped.select(
+            "walk_key",
+            "walk_i",
+            "cur",
+            "prev",
+            "walk",
+            F.when(
+                F.col("nbrs").isNotNull(), F.element_at("nbrs", nxt_idx)
+            ).alias("_next"),
+        ).select(
+            "walk_key",
+            "walk_i",
+            F.coalesce("_next", "cur").alias("_cur2"),
+            F.when(F.col("_next").isNotNull(), F.col("cur"))
+            .otherwise(F.col("prev"))
+            .alias("_prev2"),
+            F.when(
+                F.col("_next").isNotNull(),
+                F.concat("walk", F.array("_next")),
+            )
+            .otherwise(F.col("walk"))
+            .alias("_walk2"),
+        ).toDF("walk_key", "walk_i", "cur", "prev", "walk")
         if step % checkpoint_every == 0 or step == walk_length - 1:
             walks = walks.localCheckpoint()
     adj.unpersist()
@@ -126,7 +228,7 @@ def node2vec_embeddings(
     )
     model = w2v.fit(walks)
     vectors = model.getVectors()  # (word, vector)
-    to_arr = F.udf(lambda v: [float(x) for x in v], "array<float>")
     return vectors.select(
-        F.col("word").alias("id"), to_arr("vector").alias("embedding")
+        F.col("word").alias("id"),
+        vector_to_array("vector").cast("array<float>").alias("embedding"),
     )

@@ -138,8 +138,16 @@ class KGPipeline:
         return self.spark.read.parquet(self._path(stage))
 
     def _append_chunk(self, stage: str, df: DataFrame) -> None:
+        """Idempotent chunk commit: dynamic partition overwrite replaces
+        exactly the bucket partitions this chunk produced. Every stage
+        partitions by the *input-derived* bucket (page-url hash), so a
+        chunk owns its partitions outright — a crash between this write
+        and the lineage mark makes the rerun rewrite the same partitions
+        byte-for-byte instead of appending duplicates (exactly-once
+        resume without a commit protocol)."""
         (
-            df.write.mode("append")
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self._path(stage))
         )
@@ -168,7 +176,9 @@ class KGPipeline:
             self._append_chunk(stage, out)
             wall = (time.time() - t0) * 1000
             # per-bucket metrics from the committed files (cheap columnar
-            # count — reads only the bucket partition footer stats)
+            # count — partition pruning reads only this chunk's bucket
+            # directories, which the chunk owns outright since every
+            # stage buckets by input page, so counts are exact)
             counts = {
                 r["bucket"]: r["n"]
                 for r in self.spark.read.parquet(self._path(stage))
@@ -216,24 +226,29 @@ class KGPipeline:
             m = men.where(F.col("bucket").isin(chunk)).drop("bucket")
             linked = link_mentions(m, self.alias_dict).persist()
             raw_triples = extract_triples(m)
-            rel_edges = link_triples(raw_triples, linked).withColumn(
-                "origin_url", F.lit(None).cast("string")
-            )
+            rel_edges = link_triples(raw_triples, linked, keep_url=True)
             ment = mention_edges(linked).withColumn("origin_url", F.col("src"))
             cit = citing_edges(e).withColumn("origin_url", F.col("src"))
             kws = keyword_matches(e, self.keywords).withColumn(
                 "origin_url", F.col("src")
             )
-            staged = G.union_edges(
-                ment.select("src", "rel", "dst", "origin_url"),
-                cit.select("src", "rel", "dst", "origin_url"),
-                kws.select("src", "rel", "dst", "origin_url"),
-                rel_edges.select("src", "rel", "dst", "origin_url"),
+            sel = ["src", "rel", "dst", "origin_url"]
+            staged = (
+                ment.select(*sel)
+                .unionByName(cit.select(*sel))
+                .unionByName(kws.select(*sel))
+                .unionByName(rel_edges.select(*sel))
+                # dedup per (edge, origin): origin must stay deterministic
+                # so an idempotent rerun re-buckets rows identically; the
+                # global pass collapses cross-page duplicates
+                .dropDuplicates(["src", "rel", "dst", "origin_url"])
             )
-            # bucket by originating page when known, else by src entity
+            # bucket by originating page: the chunk owns exactly the
+            # input buckets it processed (idempotent overwrite + exact
+            # per-bucket lineage counts)
             return staged.withColumn(
                 "bucket",
-                bucket_expr("src", self.n_buckets),
+                bucket_expr("origin_url", self.n_buckets),
             )
 
         self._run_bucketed_stage("edges_staging", build, fail_after_chunks)
@@ -261,12 +276,17 @@ class KGPipeline:
                 # canonicalization + corpus filtering happen globally
                 drop_dangling_citations=False,
                 canonicalize=False,
+                with_origin=True,
             ).select(
                 F.col("subj").alias("src"),
                 F.col("pred").alias("rel"),
                 F.col("obj").alias("dst"),
+                "origin_url",
             )
-            return staged.withColumn("bucket", bucket_expr("src", self.n_buckets))
+            # bucket by originating page (see run_link_and_stage_edges)
+            return staged.withColumn(
+                "bucket", bucket_expr("origin_url", self.n_buckets)
+            )
 
         self._run_bucketed_stage("edges_staging", build, fail_after_chunks)
 

@@ -148,12 +148,25 @@ def construct_triples_fused(
     drop_dangling_citations: bool = True,
     ner_scorer_layers: int = 0,
     canonicalize: bool = True,
+    with_origin: bool = False,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> (subj, pred, obj).
 
     ``canonicalize=False`` skips the canonical-map build/apply — used
     when a caller (e.g. the checkpointed pipeline) canonicalizes once
-    globally instead of per chunk."""
+    globally instead of per chunk.
+
+    ``with_origin=True`` adds ``origin_url`` (the page each edge was
+    extracted from — every fused edge is page-local, so the origin is
+    exact) and dedups per (edge, origin): the pipeline partitions its
+    staging table by origin bucket so chunk commits are idempotent.
+    Requires ``canonicalize=False`` and ``drop_dangling_citations=False``
+    (the pipeline's global pass does both once)."""
+    if with_origin and (canonicalize or drop_dangling_citations):
+        raise ValueError(
+            "with_origin=True requires canonicalize=False and "
+            "drop_dangling_citations=False"
+        )
     alias_df = (
         alias_dict
         if alias_dict is not None
@@ -196,6 +209,7 @@ def construct_triples_fused(
             srcs: list[str] = []
             rels: list[str] = []
             dsts: list[str] = []
+            origins: list[str] = []
             contexts: list[str] | None = [] if scorer is not None else None
             for url, html in zip(pdf["url"], pdf["html"]):
                 for s, r, d in _page_edges(
@@ -211,20 +225,29 @@ def construct_triples_fused(
                     srcs.append(s)
                     rels.append(r)
                     dsts.append(d)
+                    origins.append(url)
             if scorer is not None and contexts:
                 scorer.score(contexts)  # model cost per mention batch
-            yield pd.DataFrame(
-                {
-                    "src": pd.Series(srcs, dtype="object"),
-                    "rel": pd.Series(rels, dtype="object"),
-                    "dst": pd.Series(dsts, dtype="object"),
-                }
-            )
+            cols = {
+                "src": pd.Series(srcs, dtype="object"),
+                "rel": pd.Series(rels, dtype="object"),
+                "dst": pd.Series(dsts, dtype="object"),
+            }
+            if with_origin:
+                cols["origin_url"] = pd.Series(origins, dtype="object")
+            yield pd.DataFrame(cols)
 
-    staged = pages.select("url", "html").mapInPandas(
-        run, schema="src string, rel string, dst string"
+    schema = "src string, rel string, dst string"
+    if with_origin:
+        schema += ", origin_url string"
+    staged = pages.select("url", "html").mapInPandas(run, schema=schema)
+    # dedup per (edge, origin) when origins are kept: the origin pick
+    # must be deterministic or idempotent chunk reruns would re-bucket
+    # rows; the global pass collapses cross-page duplicates later
+    dedup_cols = ["src", "rel", "dst"] + (
+        ["origin_url"] if with_origin else []
     )
-    staged = G.cleanup_null_nodes(staged).dropDuplicates(["src", "rel", "dst"])
+    staged = G.cleanup_null_nodes(staged).dropDuplicates(dedup_cols)
 
     if canonicalize:
         cmap = canon.build_canonical_map_auto(
@@ -245,8 +268,11 @@ def construct_triples_fused(
             .where((F.col("rel") != "citing") | F.col("_in_corpus").isNotNull())
             .select("src", "rel", "dst")
         )
-    return edges.select(
+    out = [
         F.col("src").alias("subj"),
         F.col("rel").alias("pred"),
         F.col("dst").alias("obj"),
-    )
+    ]
+    if with_origin:
+        out.append(F.col("origin_url"))
+    return edges.select(*out)

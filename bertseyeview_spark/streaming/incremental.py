@@ -60,8 +60,12 @@ def incremental_kg_ingest(
     """Process new page files since the last run, append their edges.
 
     ``Trigger.AvailableNow`` drains the backlog then stops — the
-    scheduled-batch shape of the reference's poll loop with
-    exactly-once file tracking from the streaming checkpoint.
+    scheduled-batch shape of the reference's poll loop. The streaming
+    checkpoint gives exactly-once *file tracking*; end-to-end
+    exactly-once additionally needs the sink write to be idempotent,
+    so each micro-batch overwrites its own ``epoch=<id>`` partition —
+    a replayed batch (crash after write, before checkpoint commit)
+    rewrites the same directory instead of appending duplicates.
     """
     from ..operators.extract import citing_edges, extract_text
     from ..operators.linking import link_mentions, mention_edges
@@ -83,7 +87,10 @@ def incremental_kg_ingest(
             citing_edges(ext),
             keyword_matches(ext, keywords),
         )
-        staged.write.mode("append").parquet(edges_path)
+        # idempotent per-epoch commit: replays overwrite, never duplicate
+        staged.write.mode("overwrite").parquet(
+            os.path.join(edges_path, f"epoch={int(epoch_id)}")
+        )
 
     q = (
         spark.readStream.schema(PAGES_SCHEMA)

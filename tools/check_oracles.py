@@ -26,6 +26,26 @@ TABLES = [
 ]
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Coarse per-column kind; the driver's hash is representation-sensitive,
+    so an int64-vs-object(int128) or int-vs-float divergence that stringifies
+    identically still hash-fails at the driver. Surface it here."""
+    kinds = {}
+    for c in sorted(df.columns):
+        d = df[c]
+        if pd.api.types.is_datetime64_any_dtype(d):
+            kinds[c] = "ts"
+        elif pd.api.types.is_float_dtype(d):
+            kinds[c] = "float"
+        elif pd.api.types.is_integer_dtype(d):
+            kinds[c] = "int"
+        elif pd.api.types.is_bool_dtype(d):
+            kinds[c] = "bool"
+        else:
+            kinds[c] = str(d.dtype)
+    return kinds
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -72,6 +92,12 @@ def main() -> int:
             failures.append(name)
             print(f"[FAIL] {name}: duckdb error: {e}")
             continue
+        ka, kb = dtype_kinds(sdf), dtype_kinds(odf)
+        kind_warn = {
+            c: (ka.get(c), kb.get(c))
+            for c in set(ka) | set(kb)
+            if ka.get(c) != kb.get(c)
+        }
         a, b = normalize(sdf), normalize(odf)
         if list(a.columns) != list(b.columns):
             failures.append(name)
@@ -89,6 +115,11 @@ def main() -> int:
             for i in ix:
                 print("  spark :", a.loc[i].to_dict())
                 print("  oracle:", b.loc[i].to_dict())
+            continue
+        if kind_warn:
+            failures.append(name)
+            print(f"[FAIL] {name}: dtype-kind mismatch (driver hash risk): "
+                  f"{kind_warn}")
             continue
         print(f"[OK]   {name}: {len(a)} rows")
     spark.stop()
