@@ -32,6 +32,8 @@ from bertseyeview_spark.operators.canonicalize import connected_components  # no
 from bertseyeview_spark.operators.graph import node_label_expr  # noqa: E402
 from bertseyeview_spark.operators.node2vec import generate_walks  # noqa: E402
 from bertseyeview_spark.operators.rank import article_rank  # noqa: E402
+from bertseyeview_spark.operators.citations import compose_citation_rows  # noqa: E402
+from bertseyeview_spark.functions.codecs import epubdate_iso_udf  # noqa: E402
 from bertseyeview_spark.plans.kg import documents_as_pages  # noqa: E402
 from bertseyeview_spark.plans.kg_fused import construct_triples_fused  # noqa: E402
 
@@ -432,6 +434,68 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def q_citation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/S5 end-to-end: per citing edge, one 29-column interchange row
+    inlining both endpoints' metadata through the byte-parity codecs
+    (epubdate fallback chain, author string, keyword quirk, annotation
+    split). Metadata is synthesized deterministically from documents so
+    the oracle can replay every codec branch in ANSI SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    months = F.array(*[F.lit(m) for m in _MONTHS])
+    did = F.col("doc_id")
+    mon = F.element_at(months, (did % 12 + 1).cast("int"))
+    mon2 = F.element_at(months, ((did + 5) % 12 + 1).cast("int"))
+    epub_raw = F.when(did % 3 == 0, F.lit("NA")).otherwise(
+        F.concat_ws(
+            " ",
+            (F.lit(2000) + did % 20).cast("string"),
+            mon,
+            (F.lit(1) + did % 28).cast("string"),
+        )
+    )
+    # two-part pubdate exercises preprocess_date's month-extraction path
+    pub_raw = F.concat_ws(" ", (F.lit(1990) + did % 25).cast("string"), mon2)
+    sort_raw = F.lit("1980/01/02 00:00")
+    authors = F.when(
+        did % 4 == 0, F.array().cast("array<struct<name:string>>")
+    ).otherwise(
+        F.array(
+            F.struct(F.concat(F.lit("A"), did.cast("string")).alias("name")),
+            F.struct(F.concat(F.lit("B"), did.cast("string")).alias("name")),
+        )
+    )
+    low = F.lower(F.col("text"))
+    ann = (
+        F.when(
+            low.contains("spark") & low.contains("merge"),
+            F.lit("Gene:6647;spark|Null|Chemical:MESH:D000069337;merge|Null|Null|Null"),
+        )
+        .when(low.contains("spark"), F.lit("Gene:6647;spark|Null|Null|Null|Null|Null"))
+        .when(low.contains("stream"), F.lit("Null|Disease:MESH:D000690;stream|Null|Null|Null|Null"))
+        .otherwise(F.lit("Null|Null|Null|Null|Null|Null"))
+    )
+    meta = docs.select(
+        did.alias("id"),
+        F.substring("text", 1, 40).alias("title"),
+        F.concat(F.lit("PMC"), ((did * 3) % 997).cast("string")).alias("pmc_id"),
+        epubdate_iso_udf()(epub_raw, pub_raw, sort_raw).alias("epubdate"),
+        authors.alias("authors"),
+        F.concat(F.lit("J"), (did % 7).cast("string")).alias("journal"),
+        F.col("text").alias("abstract"),
+        ann.alias("annotations"),
+    )
+    citing = docs.select(
+        did.alias("src"), ((did * 37 + 11) % 500).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    return compose_citation_rows(
+        citing, meta, FILTER_TERMS, TAG_TERMS, reference_id_start=1
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
@@ -800,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disease_attribute_join": q_disease_attribute_join,
         "bioc_parse": q_bioc_parse,
         "random_walks": q_random_walks,
+        "citation_rows": q_citation_rows,
     }
 
 
@@ -1167,6 +1232,65 @@ FROM ranked WHERE rank <= 10
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
+        "citation_rows": """
+WITH m AS (
+  SELECT doc_id AS id,
+    substr(text, 1, 40) AS title,
+    'PMC' || ((doc_id * 3) % 997)::VARCHAR AS pmc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN printf('%04d-%02d-01', 1990 + doc_id % 25, 1 + ((doc_id + 5) % 12))
+      ELSE printf('%04d-%02d-%02d', 2000 + doc_id % 20,
+                  1 + (doc_id % 12), 1 + (doc_id % 28)) END AS epubdate,
+    CASE WHEN doc_id % 4 = 0 THEN 'NA'
+      ELSE chr(39) || 'A' || doc_id::VARCHAR || ';B' || doc_id::VARCHAR
+           || chr(39) END AS authors,
+    'J' || (doc_id % 7)::VARCHAR AS journal,
+    text AS abstract,
+    string_split(
+      CASE WHEN contains(lower(text), 'spark') AND contains(lower(text), 'merge')
+             THEN 'Gene:6647;spark|Null|Chemical:MESH:D000069337;merge|Null|Null|Null'
+           WHEN contains(lower(text), 'spark')
+             THEN 'Gene:6647;spark|Null|Null|Null|Null|Null'
+           WHEN contains(lower(text), 'stream')
+             THEN 'Null|Disease:MESH:D000690;stream|Null|Null|Null|Null'
+           ELSE 'Null|Null|Null|Null|Null|Null' END, '|') AS ann,
+    (contains(lower(substr(text,1,40) || ' ' || text), 'spark')
+     OR contains(lower(substr(text,1,40) || ' ' || text), 'vector')
+     OR contains(lower(substr(text,1,40) || ' ' || text), 'stream')) AS rel,
+    list_filter(['window', 'merge', 'spark'],
+      t -> contains(lower(substr(text,1,40) || ' ' || text), t)) AS kwl
+  FROM documents
+),
+mm AS (
+  SELECT *, CASE WHEN len(kwl) > 0 THEN array_to_string(kwl, ',')
+                 ELSE 'Null' END AS keywords FROM m
+),
+c AS (
+  SELECT doc_id AS article, (doc_id * 37 + 11) % 500 AS reference
+  FROM documents WHERE doc_id <> (doc_id * 37 + 11) % 500
+),
+j AS (
+  SELECT c.article, c.reference,
+    a.title AS article_title, a.pmc_id AS article_pmc_id,
+    a.epubdate AS article_epubdate, a.authors AS article_authors,
+    a.journal AS article_journal, a.abstract AS article_abstract,
+    a.keywords AS article_keywords,
+    a.ann[1] AS article_gene, a.ann[2] AS article_disease,
+    a.ann[3] AS article_chemical, a.ann[4] AS article_species,
+    a.ann[5] AS article_mutation, a.ann[6] AS article_cellline,
+    r.title AS reference_title, r.pmc_id AS reference_pmc_id,
+    r.epubdate AS reference_epubdate, r.authors AS reference_authors,
+    r.journal AS reference_journal, r.abstract AS reference_abstract,
+    r.keywords AS reference_keywords,
+    r.ann[1] AS reference_gene, r.ann[2] AS reference_disease,
+    r.ann[3] AS reference_chemical, r.ann[4] AS reference_species,
+    r.ann[5] AS reference_mutation, r.ann[6] AS reference_cellline
+  FROM c JOIN mm a ON c.article = a.id JOIN mm r ON c.reference = r.id
+  WHERE a.rel AND r.rel
+)
+SELECT row_number() OVER (ORDER BY article, reference) AS reference_id, *
+FROM j
+""",
         "embedding_topk_cosine": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),

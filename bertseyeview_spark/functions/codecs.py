@@ -349,6 +349,26 @@ def preprocess_date_udf():
 def author_string_udf():
     @F.pandas_udf("string")
     def _udf(s: pd.Series) -> pd.Series:
-        return s.map(get_author_string)
+        # Arrow hands array<struct> columns over as numpy arrays of
+        # dicts; the reference codec type-checks for `list`, so convert
+        # (None stays None -> the codec's 'NA' path)
+        return s.map(
+            lambda v: get_author_string(
+                list(v) if v is not None and not isinstance(v, list) else v
+            )
+        )
+
+    return _udf
+
+
+def epubdate_iso_udf():
+    """Batched twin of :func:`epubdate_iso` — the S4 date fallback
+    chain (epubdate, else parsed pubdate, else sortpubdate) columnar."""
+
+    @F.pandas_udf("string")
+    def _udf(e: pd.Series, p: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [epubdate_iso(a, b, c) for a, b, c in zip(e, p, s)]
+        )
 
     return _udf

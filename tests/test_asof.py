@@ -35,3 +35,43 @@ def test_asof_join_semantics(spark):
     assert got == {1: 30.0, 2: 100.0, 3: None, 4: 150.0}
     # all left rows survive (left-join semantics)
     assert len(got) == 4
+
+
+def test_asof_join_row_atomic_and_null_ts(spark):
+    """A NULL payload field in the matched right row must NOT blend in a
+    value from an older right row (row-atomic struct attach), and right
+    rows with NULL ts never match (SQL ASOF semantics)."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts(3), 30.0, "old"),
+            (7, _ts(10), None, "new"),   # matched row has NULL value
+            (7, None, 999.0, "nullts"),  # must never leak
+        ],
+        "user_id long, ts timestamp, value double, tag string",
+    )
+    row = asof_join(left, right, on="user_id", ts="ts").collect()[0]
+    assert row["tag_asof"] == "new"
+    assert row["value_asof"] is None  # NOT 30.0 from the older row
+
+
+def test_asof_join_duplicate_ts_deterministic(spark):
+    """Duplicate (key, ts) right rows resolve to one deterministic
+    winner (max payload struct) at any parallelism."""
+    left = spark.createDataFrame(
+        [(1, 7, _ts(20))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, _ts(10), v) for v in (5.0, 1.0, 3.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    vals = set()
+    for parts in (2, 8):
+        out = asof_join(
+            left.repartition(parts), right.repartition(parts),
+            on="user_id", ts="ts",
+        ).collect()
+        vals.add(out[0]["value_asof"])
+    assert vals == {5.0}

@@ -196,3 +196,62 @@ class TestNode2vec:
         rows = emb.collect()
         assert {r["id"] for r in rows} == {"a", "b", "c", "d"}
         assert all(len(r["embedding"]) == 8 for r in rows)
+
+
+class TestNode2vecBias:
+    EDGES = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+
+    def _walks(self, spark, **kw):
+        edges = spark.createDataFrame(self.EDGES, ["src", "dst"])
+        return generate_walks(edges, walks_per_node=20, walk_length=10,
+                              seed=3, **kw).collect()
+
+    @staticmethod
+    def _return_rate(rows):
+        n = t = 0
+        for r in rows:
+            w = r["walk"]
+            for i in range(2, len(w)):
+                t += 1
+                n += w[i] == w[i - 2]
+        return n / t
+
+    def test_biased_walks_valid_and_shifted(self, spark):
+        """p < 1 boosts immediate returns, p > 1 suppresses them (the
+        node2vec return factor); every step stays a real edge."""
+        und = set(self.EDGES) | {(b, a) for a, b in self.EDGES}
+        low_p = self._walks(spark, p=0.05, q=1.0)
+        high_p = self._walks(spark, p=20.0, q=1.0)
+        for rows in (low_p, high_p):
+            for r in rows:
+                for x, y in zip(r["walk"], r["walk"][1:]):
+                    assert (x, y) in und
+        assert self._return_rate(low_p) > 0.7
+        assert self._return_rate(high_p) < 0.3
+
+    def test_biased_walks_deterministic_across_parallelism(self, spark):
+        a = {r["walk_key"]: r["walk"] for r in self._walks(spark, p=0.5, q=2.0)}
+        b = {r["walk_key"]: r["walk"] for r in self._walks(spark, p=0.5, q=2.0)}
+        assert a == b
+
+    def test_portable_hash_matches_duckdb_replay(self, spark):
+        """The portable neighbor-choice hash must equal DuckDB's
+        ('0x' || substr(md5(key),1,8))::BIGINT — the contract the
+        random-walk oracle depends on."""
+        import duckdb
+        from pyspark.sql import functions as F
+
+        key = "N1#0#3#7"
+        got = (
+            spark.range(1)
+            .select(
+                F.conv(F.substring(F.md5(F.lit(key)), 1, 8), 16, 10)
+                .cast("long")
+                .alias("h")
+            )
+            .collect()[0]["h"]
+        )
+        want = duckdb.sql(
+            f"select ('0x' || substr(md5('{key}'),1,8))::BIGINT"
+        ).fetchone()[0]
+        assert got == want
