@@ -434,6 +434,64 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def q_node_properties_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node table with accreted properties (map<string,string>), a
+    per-label attribute view projecting map attributes, and the
+    whitelisted search (F5/F6) over those attributes — the reference's
+    per-label return lists + SET accretion (neo4j_helper.py:326-369,
+    :1933-1962) as one join + map projection."""
+    from bertseyeview_spark.operators.graph import derive_nodes
+    from bertseyeview_spark.operators.enrichment import select_label_view
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://d/"), F.col("doc_id").cast("string"))
+    cit = docs.select(
+        url.alias("src"),
+        F.lit("citing").alias("rel"),
+        F.concat(
+            F.lit("https://d/"),
+            ((F.col("doc_id") * 37 + 11) % 500).cast("string"),
+        ).alias("dst"),
+    )
+    ents = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(e).alias("e"))
+            for a, e in DOC_ENTITIES
+        ]
+    )
+    low = F.lower(F.col("text"))
+    ment = docs.select(
+        url.alias("src"),
+        F.explode(F.filter(ents, lambda s: low.contains(s["a"]))).alias("m"),
+    ).select(
+        "src",
+        F.lit("has_named_entity").alias("rel"),
+        F.col("m")["e"].alias("dst"),
+    )
+    meta = docs.select(
+        url.alias("url"),
+        F.substring("text", 1, 30).alias("title"),
+        F.col("source"),
+        F.col("n_chars").cast("string").alias("n_chars"),
+    )
+    nodes = derive_nodes(cit.unionByName(ment), page_meta=meta)
+    view = select_label_view(
+        nodes, "Article", ["id", "title", "source", "n_chars"]
+    )
+    hits = A.search(
+        view,
+        attributes=["title", "source"],
+        operators=["CONTAINS", "STARTS WITH"],
+        values=["spark", "src1"],
+        combine="and",
+    )
+    return (
+        hits.select("id", "title", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy(F.desc("n_chars"), F.asc("id"))
+        .limit(30)
+    )
+
+
 _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
@@ -865,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bioc_parse": q_bioc_parse,
         "random_walks": q_random_walks,
         "citation_rows": q_citation_rows,
+        "node_properties_search": q_node_properties_search,
     }
 
 
@@ -1232,6 +1291,17 @@ FROM ranked WHERE rank <= 10
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
+        "node_properties_search": """
+WITH d AS (
+  SELECT 'https://d/' || doc_id::VARCHAR AS id,
+         substr(text, 1, 30) AS title, source, n_chars
+  FROM documents
+)
+SELECT id, title, n_chars
+FROM d
+WHERE contains(lower(title), 'spark') AND starts_with(lower(source), 'src1')
+ORDER BY n_chars DESC, id LIMIT 30
+""",
         "citation_rows": """
 WITH m AS (
   SELECT doc_id AS id,

@@ -134,11 +134,21 @@ def select_label_view(
 ) -> DataFrame:
     """F9 projection maps: per-label attribute view (reference keeps a
     return-column list per label, neo4j_helper.py:326-369); embedding-
-    like wide columns are excluded unless explicitly requested."""
+    like wide columns are excluded unless explicitly requested.
+
+    Requested attrs that are not physical columns are projected out of
+    the ``properties`` map (the node-attribute store), so a per-label
+    return list mixes schema columns and accreted attributes freely."""
     out = nodes.where(F.col("label") == label)
     if attrs:
-        keep = [c for c in attrs if c in out.columns]
-        out = out.select(*keep)
+        has_props = "properties" in out.columns
+        cols = []
+        for c in attrs:
+            if c in out.columns:
+                cols.append(F.col(c))
+            elif has_props:
+                cols.append(F.col("properties").getItem(c).alias(c))
+        out = out.select(*cols)
     else:
         out = out.drop(*[c for c in out.columns if c.startswith("embedding")])
     return out

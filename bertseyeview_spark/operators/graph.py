@@ -62,20 +62,87 @@ def cleanup_null_nodes(edges: DataFrame) -> DataFrame:
     return edges.where((F.col("src") != "Null") & (F.col("dst") != "Null"))
 
 
-def derive_nodes(edges: DataFrame) -> DataFrame:
-    """Edge endpoints -> deduped node table with labels.
+def _empty_props():
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+
+
+def properties_map(cols: dict[str, "F.Column"]):
+    """Named columns -> map<string,string>, dropping NULL values — the
+    reference's SET only writes attributes that are present
+    (neo4j_helper.py:1933-1962)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("key"), v.cast("string").alias("value")
+            )
+            for k, v in cols.items()
+        ]
+    )
+    return F.map_from_entries(
+        F.filter(entries, lambda s: s["value"].isNotNull())
+    )
+
+
+def derive_nodes(
+    edges: DataFrame,
+    page_meta: DataFrame | None = None,
+    meta_id_col: str = "url",
+) -> DataFrame:
+    """Edge endpoints -> deduped node table
+    ``(id, label, properties map<string,string>)`` (SURVEY §1.4's node
+    shape; rank attaches via rank.attach_rank).
 
     The union is two column-pruned passes over the edge table; the
     distinct is one shuffle keyed on id. At scale, write partitioned by
     label (the per-label index analogue).
-    """
+
+    ``page_meta`` (optional) accretes per-page attributes onto Article
+    nodes: every column except ``meta_id_col`` becomes a properties
+    entry (NULLs skipped). One left join keyed on id — entity-side
+    attribute tables compose the same way via
+    :func:`accrete_properties`."""
     ids = edges.select(F.col("src").alias("id")).union(
         edges.select(F.col("dst").alias("id"))
     )
-    return (
+    nodes = (
         ids.distinct()
         .withColumn("label", node_label_expr("id"))
         .select("id", "label")
+        .withColumn("properties", _empty_props())
+    )
+    if page_meta is None:
+        return nodes
+    attr_cols = [c for c in page_meta.columns if c != meta_id_col]
+    meta = page_meta.select(
+        F.col(meta_id_col).alias("id"),
+        properties_map({c: F.col(c) for c in attr_cols}).alias("_meta_props"),
+    )
+    return accrete_properties(nodes, meta, props_col="_meta_props")
+
+
+def accrete_properties(
+    nodes: DataFrame, updates: DataFrame, props_col: str = "properties"
+) -> DataFrame:
+    """Merge attribute updates into the node properties map — the
+    reference's ``SET n.attr = value`` accretion (neo4j_helper.py:
+    1933-1962) as one left join: update keys overwrite, other keys
+    survive, nodes without updates are untouched. All map surgery is
+    JVM-side (map_filter + map_concat)."""
+    upd = updates.select("id", F.col(props_col).alias("_upd"))
+    new = F.coalesce(F.col("_upd"), _empty_props())
+    merged = F.map_concat(
+        F.map_filter(
+            F.col("properties"),
+            lambda k, _: ~F.array_contains(F.map_keys(new), k),
+        ),
+        new,
+    )
+    return (
+        nodes.join(upd, "id", "left")
+        .withColumn("properties", merged)
+        .drop("_upd")
     )
 
 

@@ -320,7 +320,15 @@ class KGPipeline:
         edges.write.mode("overwrite").parquet(self._path("edges"))
         edges = self._read("edges")
 
-        nodes = G.derive_nodes(edges)
+        # node properties accreted from page metadata (reference SET
+        # semantics): lang, crawl timestamp, text length
+        page_meta = self._read("extract").select(
+            "url",
+            "lang",
+            F.col("warc_ts").cast("string").alias("warc_ts"),
+            F.length("text").alias("n_chars"),
+        )
+        nodes = G.derive_nodes(edges, page_meta=page_meta)
         ranks = R.article_rank(
             edges.where(F.col("rel") == "citing").select("src", "dst"),
             iterations=self.rank_iterations,

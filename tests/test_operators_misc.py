@@ -102,3 +102,69 @@ def test_quality_features_values(spark):
     assert r["n_tokens"] == 6
     assert r["n_bpe_tokens"] == 9  # hello , world ! this is a test .
     assert 0.0 <= r["quality_score"] <= 1.0
+
+
+class TestNodeProperties:
+    def test_derive_nodes_with_meta_and_accretion(self, spark):
+        from pyspark.sql import functions as F
+        from bertseyeview_spark.operators.graph import (
+            accrete_properties,
+            derive_nodes,
+            properties_map,
+        )
+
+        edges = spark.createDataFrame(
+            [
+                ("https://a", "has_named_entity", "Gene:1"),
+                ("https://b", "citing", "https://a"),
+            ],
+            ["src", "rel", "dst"],
+        )
+        meta = spark.createDataFrame(
+            [("https://a", "en", 120), ("https://b", None, 80)],
+            ["url", "lang", "n_chars"],
+        )
+        nodes = derive_nodes(edges, page_meta=meta)
+        by_id = {r["id"]: r for r in nodes.collect()}
+        assert set(by_id) == {"https://a", "https://b", "Gene:1"}
+        assert by_id["https://a"]["label"] == "Article"
+        assert by_id["Gene:1"]["label"] == "gene"
+        assert by_id["https://a"]["properties"] == {"lang": "en", "n_chars": "120"}
+        # NULL attribute skipped (reference SET writes only present attrs)
+        assert by_id["https://b"]["properties"] == {"n_chars": "80"}
+        assert by_id["Gene:1"]["properties"] == {}
+
+        # accretion: update keys overwrite, others survive
+        upd = spark.createDataFrame(
+            [("https://a", "de", "x")], ["id", "lang", "extra"]
+        ).select(
+            "id",
+            properties_map(
+                {"lang": F.col("lang"), "extra": F.col("extra")}
+            ).alias("properties"),
+        )
+        merged = {
+            r["id"]: r["properties"]
+            for r in accrete_properties(nodes, upd).collect()
+        }
+        assert merged["https://a"] == {
+            "lang": "de", "n_chars": "120", "extra": "x",
+        }
+        assert merged["https://b"] == {"n_chars": "80"}
+
+    def test_label_view_projects_map_attrs(self, spark):
+        from bertseyeview_spark.operators.enrichment import select_label_view
+        from bertseyeview_spark.operators.graph import derive_nodes
+
+        edges = spark.createDataFrame(
+            [("https://a", "citing", "https://b")], ["src", "rel", "dst"]
+        )
+        meta = spark.createDataFrame(
+            [("https://a", "T1"), ("https://b", "T2")], ["url", "title"]
+        )
+        view = select_label_view(
+            derive_nodes(edges, page_meta=meta), "Article", ["id", "title"]
+        )
+        assert {tuple(r) for r in view.collect()} == {
+            ("https://a", "T1"), ("https://b", "T2"),
+        }
