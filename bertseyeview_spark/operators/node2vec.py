@@ -210,12 +210,14 @@ def node2vec_embeddings(
     seed: int = 42,
     min_count: int = 1,
     undirected: bool = True,
+    p: float = 1.0,
+    q: float = 1.0,
 ) -> DataFrame:
     """-> (id, embedding array<float>): Word2Vec skip-gram over walks."""
     from pyspark.ml.feature import Word2Vec
 
     walks = generate_walks(
-        edges, walks_per_node, walk_length, seed, undirected
+        edges, walks_per_node, walk_length, seed, undirected, p=p, q=q
     )
     w2v = Word2Vec(
         vectorSize=dim,
@@ -232,3 +234,64 @@ def node2vec_embeddings(
         F.col("word").alias("id"),
         vector_to_array("vector").cast("array<float>").alias("embedding"),
     )
+
+
+def node2vec_projection_sweep(
+    edges: DataFrame,
+    runs: list[tuple[str, list[str]]] | None = None,
+    dim: int = 64,
+    walks_per_node: int = 10,
+    walk_length: int = 20,
+    seed: int = 42,
+    p: float = 0.9,
+    q: float = 0.9,
+) -> DataFrame:
+    """The reference's per-entity-pair embedding sweep
+    (knowledge-graph-manager/__main__.py:1486-1572: nine node2vec runs,
+    one per Article+label(-pair) projection, returnFactor/inOutFactor
+    0.9) as a parameterized loop: for each named run, keep only edges
+    whose endpoints are Articles or carry one of the run's labels, run
+    biased node2vec on that projection, and tag rows with the run name
+    -> (run, id, embedding).
+
+    Runs are independent Spark jobs over successively smaller
+    projections; at scale they parallelize trivially across a scheduler
+    pool. Default runs mirror the reference's single-label sweeps plus
+    its gene/disease, gene/chemical, disease/chemical pairs."""
+    from .graph import node_label_expr
+
+    if runs is None:
+        runs = [
+            ("dis", ["disease"]),
+            ("gen", ["gene"]),
+            ("che", ["chemical"]),
+            ("spe", ["species"]),
+            ("mut", ["mutation"]),
+            ("cel", ["cellline"]),
+            ("gen_dis", ["gene", "disease"]),
+            ("gen_che", ["gene", "chemical"]),
+            ("dis_che", ["disease", "chemical"]),
+        ]
+    out: DataFrame | None = None
+    labeled = edges.select(
+        "src",
+        "dst",
+        node_label_expr("src").alias("_sl"),
+        node_label_expr("dst").alias("_dl"),
+    )
+    for name, labels in runs:
+        allowed = ["Article", *labels]
+        proj = labeled.where(
+            F.col("_sl").isin(allowed) & F.col("_dl").isin(allowed)
+        ).select("src", "dst")
+        emb = node2vec_embeddings(
+            proj,
+            dim=dim,
+            walks_per_node=walks_per_node,
+            walk_length=walk_length,
+            seed=seed,
+            p=p,
+            q=q,
+        ).withColumn("run", F.lit(name))
+        out = emb if out is None else out.unionByName(emb)
+    return out.select("run", "id", "embedding")

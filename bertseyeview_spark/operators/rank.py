@@ -59,18 +59,20 @@ def article_rank(
     else:
         avg_out = 0.0
 
-    # per-source normalization factor; nodes with no out-edges
-    # contribute nothing (dangling mass is not redistributed — matches
-    # the GDS formulation of ArticleRank).
-    norm = (
-        vertices.join(out_deg, "id", "left")
-        .select(
-            "id",
-            (F.lit(1.0) / (F.coalesce(F.col("out_deg"), F.lit(0)) + F.lit(avg_out))).alias(
-                "inv_norm"
-            ),
-            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
-        )
+    # per-source normalization factor, attached to the edge table ONCE:
+    # r*inv_norm needs inv_norm per *source*, and sources without
+    # out-edges simply don't appear in e — so the per-iteration plan is
+    # a single join + grouped sum instead of (norm join + filter + edge
+    # join). Nodes with no out-edges contribute nothing (dangling mass
+    # is not redistributed — matches the GDS formulation of ArticleRank).
+    norm_src = out_deg.select(
+        F.col("id").alias("src"),
+        (F.lit(1.0) / (F.col("out_deg") + F.lit(avg_out))).alias("inv_norm"),
+    )
+    e_norm = (
+        e.join(norm_src, "src")
+        .select(F.col("src").alias("id"), "dst", "inv_norm")
+        .repartition("id")
         .localCheckpoint()
     )
 
@@ -78,12 +80,9 @@ def article_rank(
 
     for it in range(iterations):
         contribs = (
-            ranks.join(norm, "id")
-            .where(F.col("out_deg") > 0)
-            .select("id", (F.col("rank") * F.col("inv_norm")).alias("w"))
-            .join(e, F.col("id") == e["src"])
+            ranks.join(e_norm, "id")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("w").alias("incoming"))
+            .agg(F.sum(F.col("rank") * F.col("inv_norm")).alias("incoming"))
         )
         ranks = vertices.join(contribs, "id", "left").select(
             "id",

@@ -88,27 +88,32 @@ def graph_to_json(display_nodes: DataFrame, display_edges: DataFrame) -> dict:
     return {"nodes": nodes, "edges": edges}
 
 
-def layout_2d(embeddings: DataFrame, canvas_scale: float = 2000.0) -> DataFrame:
+def layout_2d(
+    embeddings: DataFrame,
+    canvas_scale: float = 2000.0,
+    method: str = "tsne",
+    n_iter: int = 500,
+) -> DataFrame:
     """(id, embedding) -> (id, x, y) for plotting.
 
     Reference uses client-side node2vec + sklearn TSNE + min-max
-    scaling to a canvas (neo4j_helper.py:1815-1860). sklearn is not in
-    this container, so: t-SNE when importable, else a deterministic
-    seeded random projection to 2-D (STUB for the reduction step; the
-    min-max canvas scaling and the write-back shape are real).
-    """
+    scaling to a canvas (neo4j_helper.py:1815-1860). The reduction here
+    is a real exact t-SNE implemented from the published algorithm in
+    pure numpy (functions/tsne.py — sklearn is not in this container),
+    run driver-side like the reference's client-side step; viz inputs
+    are display-capped so n^2 affinities are trivial.
+    ``method="projection"`` keeps the cheap seeded linear projection
+    for callers that only need a stable scatter."""
     import numpy as np
 
     rows = embeddings.collect()  # viz-sized inputs only
     ids = [r["id"] for r in rows]
     mat = np.array([list(r["embedding"]) for r in rows], dtype=float)
-    try:  # pragma: no cover - sklearn absent in this container
-        from sklearn.manifold import TSNE
+    if method == "tsne" and len(ids) > 2:
+        from ..functions.tsne import tsne_2d
 
-        xy = TSNE(
-            n_components=2, perplexity=min(30, max(2, len(ids) - 1)), random_state=0
-        ).fit_transform(mat)
-    except ImportError:
+        xy = tsne_2d(mat, n_iter=n_iter, seed=0)
+    else:
         rng = np.random.RandomState(0)
         proj = rng.standard_normal((mat.shape[1], 2))
         xy = mat @ proj

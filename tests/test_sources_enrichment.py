@@ -255,3 +255,33 @@ class TestNode2vecBias:
             f"select ('0x' || substr(md5('{key}'),1,8))::BIGINT"
         ).fetchone()[0]
         assert got == want
+
+    def test_projection_sweep(self, spark):
+        from bertseyeview_spark.operators.node2vec import (
+            node2vec_projection_sweep,
+        )
+
+        edges = spark.createDataFrame(
+            [
+                ("https://a", "Gene:1"),
+                ("https://a", "Disease:2"),
+                ("https://b", "Gene:1"),
+                ("https://b", "Chemical:3"),
+                ("https://a", "https://b"),
+            ],
+            ["src", "dst"],
+        )
+        out = node2vec_projection_sweep(
+            edges,
+            runs=[("gen", ["gene"]), ("gen_dis", ["gene", "disease"])],
+            dim=4, walks_per_node=2, walk_length=4, seed=1,
+        )
+        by_run = {}
+        for r in out.collect():
+            by_run.setdefault(r["run"], set()).add(r["id"])
+            assert len(r["embedding"]) == 4
+        # gene projection never sees Disease/Chemical nodes
+        assert by_run["gen"] == {"https://a", "https://b", "Gene:1"}
+        assert by_run["gen_dis"] == {
+            "https://a", "https://b", "Gene:1", "Disease:2",
+        }

@@ -1,0 +1,149 @@
+"""Process-isolated N -> 4N scaling evidence (BENCH/BASELINE.md §3b).
+
+The single-JVM harness (tools/bench_scaling.py) hits this sandbox VM's
+shared memory-bandwidth ceiling above ~8 Spark threads, so it measures
+2-vs-8 threads. This harness sidesteps the ceiling the way a real
+cluster does — separate processes: the same fixed corpus is split into
+8 disjoint url-hash buckets, and N independent single-core Spark
+processes (own JVM each) process disjoint shard groups concurrently.
+
+  N=2 workers x 4 buckets each   vs   N=8 workers x 1 bucket each
+
+efficiency = throughput(8 workers) / (4 * throughput(2 workers)),
+throughput = total_pages / max(worker wall) per configuration.
+
+Output identity across configurations is asserted on the page-local
+triple multiset (count + sum of per-row xxhash64): shards partition
+pages and the fused plan dedups per (edge, origin page), so the
+multiset is sharding-invariant.
+
+Usage: python tools/bench_scaling_sharded.py [pages] [ner_layers] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_BUCKETS = 8
+WORKDIR = "/tmp/bev_scale_sharded"
+
+
+def prepare_corpus(pages: int, sent_lo: int = 14, sent_hi: int = 22) -> str:
+    """Generate the corpus once, bucketed by url hash, partitioned so
+    workers prune to their shards at the parquet scan. Heavy pages
+    (14-22 sentences) keep the runs compute-dominant like real web
+    documents — the same density the single-JVM scaling harness uses."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.datagen import generate_corpus, pages_to_spark
+
+    path = os.path.join(WORKDIR, f"corpus_{pages}_{sent_lo}_{sent_hi}")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = generate_corpus(
+        pages, seed=42, min_sentences=sent_lo, max_sentences=sent_hi
+    )
+    df = pages_to_spark(spark, corpus).withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
+    )
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_config(corpus_path: str, n_workers: int, ner_layers: int) -> dict:
+    per = N_BUCKETS // n_workers
+    shard_groups = [
+        list(range(i * per, (i + 1) * per)) for i in range(n_workers)
+    ]
+    outs = []
+    t0 = time.time()
+    procs = []
+    for i, grp in enumerate(shard_groups):
+        out = os.path.join(WORKDIR, f"w{n_workers}_{i}.json")
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "tools", "bench_shard_worker.py"),
+                    corpus_path,
+                    ",".join(map(str, grp)),
+                    str(ner_layers),
+                    out,
+                ],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+        )
+    for p in procs:
+        rc = p.wait()
+        if rc != 0:
+            raise RuntimeError(f"worker failed rc={rc}")
+    launch_wall = time.time() - t0
+    results = [json.load(open(o)) for o in outs]
+    return {
+        "n_workers": n_workers,
+        # throughput wall = slowest worker's processing time (sessions
+        # are long-lived in production; JVM boot is not data processing)
+        "wall": max(r["wall"] for r in results),
+        "launch_wall": launch_wall,
+        "worker_walls": [r["wall"] for r in results],
+        "pages": sum(r["pages"] for r in results),
+        "triples": sum(r["triples"] for r in results),
+        "hash_sum": str(sum(int(r["hash_sum"]) for r in results) % (1 << 64)),
+    }
+
+
+def main() -> int:
+    pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    ner_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 96
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    os.makedirs(WORKDIR, exist_ok=True)
+    corpus_path = prepare_corpus(pages)
+
+    best = {}
+    for n in (2, 8):
+        for _ in range(reps):
+            r = run_config(corpus_path, n, ner_layers)
+            r["throughput"] = r["pages"] / r["wall"]
+            if n not in best or r["throughput"] > best[n]["throughput"]:
+                best[n] = r
+            print(json.dumps(r))
+    eff = best[8]["throughput"] / (4 * best[2]["throughput"])
+    identical = (
+        best[2]["triples"] == best[8]["triples"]
+        and best[2]["hash_sum"] == best[8]["hash_sum"]
+    )
+    summary = {
+        "generated": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+        "pages": pages,
+        "ner_layers": ner_layers,
+        "best": {str(k): v for k, v in best.items()},
+        "efficiency_2_to_8_workers": round(eff, 3),
+        "output_identical": identical,
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(WORKDIR, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
