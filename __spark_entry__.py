@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship KG construction over the sf0.001
 documents table. ``queries()`` exposes one entry per implemented
 operator family from SURVEY.md §2 (+ the training-data operators);
-``oracle_sql()`` gives the DuckDB-equivalent SQL where the operator is
-ANSI-SQL-expressible (iterative/hash-seeded ops are rows-only checks,
-each noted inline).
+``oracle_sql()`` gives the DuckDB-equivalent SQL for EVERY query —
+including the iterative/hash-seeded ops (pagerank as an unrolled
+fixed-iteration CTE, random walks replayed via a portable md5 hash,
+connected components as recursive reachability, LSH ops at
+recall-saturating parameters where output == the exact join).
 """
 
 from __future__ import annotations
@@ -475,6 +477,64 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         updates.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
         .select("user_id", "total_events", "total_value")
+    )
+
+
+def q_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one step of near-dup dedup: connected components over
+    the MinHash+LSH pair graph, one representative (min id) per
+    transitive cluster, every doc mapped to its representative. Oracle
+    replays components with a recursive reachability CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=32, bands=8, threshold=0.8
+    )
+    return D.dedup_representatives(docs, pairs, "doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly: sequential-fill packing of documents
+    into fixed 4096-token bins (window cumsum, pure Catalyst)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TQ.pack_sequences(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", budget=4096
+    )
+
+
+def q_motif_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif: '(a)-[citing]->(b);
+    (b)-[has_named_entity]->(e)' compiled to Catalyst equi-joins —
+    the Cypher MATCH analogue (J3/J8 family)."""
+    from bertseyeview_spark.operators.motif import find_motif
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://d/"), F.col("doc_id").cast("string"))
+    cit = docs.select(
+        url.alias("src"),
+        F.lit("citing").alias("rel"),
+        F.concat(
+            F.lit("https://d/"),
+            ((F.col("doc_id") * 37 + 11) % 500).cast("string"),
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    ents = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(e).alias("e"))
+            for a, e in DOC_ENTITIES
+        ]
+    )
+    low = F.lower(F.col("text"))
+    ment = docs.select(
+        url.alias("src"),
+        F.explode(F.filter(ents, lambda s: low.contains(s["a"]))).alias("m"),
+    ).select(
+        "src",
+        F.lit("has_named_entity").alias("rel"),
+        F.col("m")["e"].alias("dst"),
+    )
+    edges = cit.unionByName(ment)
+    return find_motif(
+        edges, "(a)-[citing]->(b); (b)-[has_named_entity]->(e)"
     )
 
 
@@ -1017,6 +1077,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "stateful_running_counts": q_stateful_running_counts,
         "length_percentiles": q_length_percentiles,
+        "dedup_representatives": q_dedup_representatives,
+        "sequence_packing": q_sequence_packing,
+        "motif_two_hop": q_motif_two_hop,
     }
 
 
@@ -1414,6 +1477,68 @@ SELECT source, count(*) AS n_docs,
   quantile_cont(n_chars, 0.9) AS p90,
   quantile_cont(n_chars, 0.99) AS p99
 FROM documents GROUP BY source
+""",
+        # cluster membership via recursive reachability; min id is the
+        # representative (string min — the engine canonicalizer works on
+        # string ids, so the comparison is lexicographic on both sides)
+        "dedup_representatives": """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') t FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a::VARCHAR AS a, id_b::VARCHAR AS b
+  FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+),
+und AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT d.doc_id::VARCHAR AS id,
+  coalesce(comp.rep, d.doc_id::VARCHAR) AS rep_id,
+  (coalesce(comp.rep, d.doc_id::VARCHAR) = d.doc_id::VARCHAR) AS is_rep
+FROM documents d LEFT JOIN comp ON d.doc_id::VARCHAR = comp.id
+""",
+        "motif_two_hop": """
+WITH ent(alias, eid) AS (VALUES {ent_values}),
+cit AS (
+  SELECT 'https://d/' || doc_id::VARCHAR AS a,
+         'https://d/' || ((doc_id * 37 + 11) % 500)::VARCHAR AS b
+  FROM documents WHERE doc_id <> (doc_id * 37 + 11) % 500
+),
+men AS (
+  SELECT 'https://d/' || d.doc_id::VARCHAR AS b, e.eid AS e
+  FROM documents d JOIN ent e ON contains(lower(d.text), e.alias)
+)
+SELECT DISTINCT cit.a, cit.b, men.e
+FROM cit JOIN men ON cit.b = men.b
+""".format(ent_values=ent_values),
+        "sequence_packing": """
+WITH s AS (SELECT doc_id AS id, n_chars::BIGINT AS n_tokens FROM documents),
+o AS (
+  SELECT id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (ORDER BY id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS "offset"
+  FROM s
+)
+SELECT id, n_tokens, CAST(floor("offset" / 4096) AS BIGINT) AS bin, "offset"
+FROM o
 """,
         "node_properties_search": """
 WITH d AS (

@@ -376,3 +376,52 @@ def simhash_verified_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters -> representative selection (the "keep one" step)
+# ---------------------------------------------------------------------------
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b) -> the deduplicated corpus decision:
+    connected components over the pair graph, one representative per
+    cluster (min id — deterministic), every other member marked with
+    its representative. Documents in no pair keep themselves.
+
+    This is the step after candidate generation in every production
+    dedup pipeline: pairs alone don't dedup — transitive clusters do
+    (a~b, b~c must drop two docs, not one per pair). Returns
+    (id, rep_id, is_rep). CC is the same size-dispatched min-label
+    propagation the entity canonicalizer uses (driver union-find for
+    small pair graphs, iterative DataFrame loop at scale)."""
+    from .canonicalize import connected_components_auto
+
+    spark = df.sparkSession
+    cc = connected_components_auto(
+        spark,
+        pairs.select(
+            F.col("id_a").cast("string").alias("a"),
+            F.col("id_b").cast("string").alias("b"),
+        ),
+        fixed_iterations=8,
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("id"))
+    return (
+        ids.join(
+            cc.select(
+                F.col("entity_id").alias("id"),
+                F.col("canonical_id").alias("rep_id"),
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("rep_id", "id").alias("rep_id"),
+        )
+        .withColumn("is_rep", F.col("id") == F.col("rep_id"))
+    )

@@ -159,3 +159,52 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema="id long, fingerprint long")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-batch assembly)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins by
+    *sequential fill* in a deterministic document order: bin id =
+    floor(cumulative_tokens_before_doc / budget). One window pass,
+    pure Catalyst — the standard streaming-packing scheme (greedy
+    first-fit needs sequential state; sequential fill is the
+    shuffle-friendly variant production pipelines use at scale, and is
+    exactly replayable in ANSI SQL).
+
+    Oversized documents (tokens > budget) still land in a bin —
+    downstream truncation policy is the caller's. At 100 TB, partition
+    the window by a corpus shard key so the sort is per-shard; the
+    global variant here is the small-scale/oracle shape.
+
+    Returns (id, n_tokens, bin, offset) where offset is the doc's token
+    start position within the global stream."""
+    from pyspark.sql import Window
+
+    order = order_col or id_col
+    w = Window.orderBy(F.col(order).asc())
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(order).alias("_ord"),
+    )
+    cum_before = (
+        F.sum("n_tokens").over(
+            Window.orderBy(F.col("_ord").asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        )
+    )
+    return (
+        out.withColumn("offset", F.coalesce(cum_before, F.lit(0)))
+        .withColumn("bin", F.floor(F.col("offset") / F.lit(budget)))
+        .select("id", "n_tokens", "bin", "offset")
+    )
