@@ -355,8 +355,17 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prefix_filter: ppjoin candidate pruning — provably output-
+    # identical (tests assert equality with the plain path), so the
+    # exact-SQL oracle is unchanged while the self-join touches only
+    # each document's rare-shingle prefix
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        prefix_filter=True,
     )
 
 
@@ -498,6 +507,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return TQ.pack_sequences(
         docs.select("doc_id", "n_chars"), "doc_id", "n_chars", budget=4096
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: the 1->N mapInPandas expansion over
+    binary payloads (decode itself is a documented container
+    limitation; the byte-slice schedule is exact and oracle-replayable
+    via generate_series)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = MM.sample_frames(docs, "doc_id", "payload", every_n_bytes=128)
+    return frames.select(
+        "id",
+        F.col("frame_index").cast("long").alias("frame_index"),
+        F.length("frame_bytes").cast("long").alias("n_bytes"),
     )
 
 
@@ -1080,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": q_dedup_representatives,
         "sequence_packing": q_sequence_packing,
         "motif_two_hop": q_motif_two_hop,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1528,6 +1554,14 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "multimodal_frames": """
+WITH d AS (
+  SELECT doc_id AS id, octet_length(encode(text)) AS len FROM documents
+)
+SELECT id, CAST(k AS BIGINT) AS frame_index,
+  CAST(least(128, greatest(len, 0) - k * 128) AS BIGINT) AS n_bytes
+FROM d, LATERAL unnest(range(CAST(ceil(greatest(len, 1) / 128.0) AS INT))) AS t(k)
+""",
         "sequence_packing": """
 WITH s AS (SELECT doc_id AS id, n_chars::BIGINT AS n_tokens FROM documents),
 o AS (

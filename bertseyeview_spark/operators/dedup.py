@@ -85,8 +85,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
     log_dropped: bool = False,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
+
+    ``prefix_filter=True`` enables ppjoin-style prefix filtering: order
+    each document's shingles by ascending global frequency (rarest
+    first, shingle text as tiebreak) and join only on each document's
+    first ``|s| - ceil(t*|s|) + 1`` shingles. Two sets with Jaccard >=
+    t must share at least one prefix token under a common global order
+    (the published prefix-filtering guarantee), so the candidate set
+    still contains every qualifying pair while the join touches only
+    the rare tail of each document — at web scale this shrinks the
+    equi-join's build input by ~t of every document's shingles and
+    composes with the frequency cap (applied first). Verification joins
+    candidates back to the FULL shingle sets, so the output is
+    byte-identical to the unfiltered path (asserted in tests).
 
     ``max_shingle_freq`` drops ubiquitous shingles (boilerplate) before
     the self-join — the skew guard: a shingle appearing in f docs
@@ -124,14 +138,61 @@ def ngram_jaccard_pairs(
             )
         joinable = sh.join(freq_ok, "shingle", "semi")
 
-    a = joinable.select(F.col("id").alias("id_a"), "shingle")
-    b = joinable.select(F.col("id").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    if prefix_filter:
+        from pyspark.sql import Window
+
+        freq = joinable.groupBy("shingle").agg(F.count("*").alias("_f"))
+        ranked = joinable.join(freq, "shingle").withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.asc("_f"), F.asc("shingle")
+                )
+            ),
+        )
+        # prefix length over the CAPPED set size (the join universe):
+        # |s| - ceil(t * |s|) + 1
+        cap_sizes = joinable.groupBy("id").agg(
+            F.count("*").alias("_cap_size")
+        )
+        prefix = (
+            ranked.join(cap_sizes, "id")
+            .where(
+                F.col("_rk")
+                <= F.col("_cap_size")
+                - F.ceil(F.lit(threshold) * F.col("_cap_size"))
+                + F.lit(1)
+            )
+            .select("id", "shingle")
+        )
+        cand = (
+            prefix.select(F.col("id").alias("id_a"), "shingle")
+            .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates()
+        )
+        # verify candidates against the full JOINABLE (cap-consistent)
+        # shingle sets — output is identical to the unfiltered path
+        # under the same cap settings
+        common = (
+            cand.join(joinable.withColumnRenamed("id", "id_a"), "id_a")
+            .join(
+                joinable.withColumnRenamed("id", "id_b"),
+                ["id_b", "shingle"],
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a = joinable.select(F.col("id").alias("id_a"), "shingle")
+        b = joinable.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")

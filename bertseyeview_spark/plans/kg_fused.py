@@ -180,7 +180,14 @@ def construct_triples_fused(
     keywords = keywords or _KEYWORDS_DEFAULT
     patterns = normalize_patterns(patterns or DEFAULT_PATTERNS)
 
-    # broadcast the dictionary as plain python (model-broadcast pattern)
+    # broadcast the dictionary as plain python (model-broadcast pattern,
+    # like shipping tokenizer/model weights to workers). CEILING: the
+    # dict must fit the driver + one broadcast block — ~10^7 aliases x
+    # (surface + id + 64-dim embedding) ~ 6 GB, the practical cap. Past
+    # that, use the modular plan (plans/kg.py): its linking is a
+    # broadcast/shuffle JOIN against the dictionary as a DataFrame,
+    # which scales to arbitrary dictionary sizes; parity between the
+    # two plans is pinned by tests/test_kg_fused.py.
     alias_rows = alias_df.select("alias", "entity_id", "embedding").collect()
     alias_map: dict[str, list[tuple[str, np.ndarray]]] = {}
     for r in alias_rows:

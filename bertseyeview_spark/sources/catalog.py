@@ -127,3 +127,75 @@ class TableCatalog:
             os.rename(final, back)
         os.rename(tmp, final)
         self._log_snapshot(name, "merge", self.read_table(name).count())
+
+
+class BucketedStore:
+    """Bucketed managed tables (Spark `bucketBy` + `saveAsTable`) — the
+    co-located-join layout the node/edge stores use at real scale: two
+    tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle on either side (SortMergeJoin reads pre-bucketed
+    files directly). This is the parquet-era analogue of Iceberg's
+    bucket partition transform (`bucket(N, id)`).
+
+    Managed tables need a metastore-backed session (`spark.sql.
+    warehouse.dir` + derby metastore — available in plain local mode),
+    unlike the path-based TableCatalog above; keep instances of the two
+    separate."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_col: str,
+        n_buckets: int = 16,
+        sort: bool = True,
+    ) -> None:
+        # a table dropped in a *previous* session's metastore leaves its
+        # warehouse directory behind; saveAsTable then refuses the name.
+        # Drop + clear the stale location so overwrite is truly idempotent.
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        try:
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+            loc = os.path.join(
+                warehouse.removeprefix("file:"), name.lower()
+            )
+            if os.path.exists(loc):
+                import shutil
+
+                shutil.rmtree(loc)
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
+        writer = df.write.mode("overwrite").format("parquet")
+        writer = writer.bucketBy(n_buckets, bucket_col)
+        if sort:
+            writer = writer.sortBy(bucket_col)
+        writer.saveAsTable(name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def colocated_join(
+        self, left_name: str, right_name: str, on: str | list[str]
+    ) -> DataFrame:
+        """Join two same-bucketed tables on the bucket key. With equal
+        bucket counts Spark plans a shuffle-free SortMergeJoin — assert
+        with plan_has_shuffle()."""
+        return self.read(left_name).join(self.read(right_name), on)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a SHUFFLE exchange (hash/
+    range/single-partition repartitioning). BroadcastExchange is not a
+    shuffle — it replicates one small side without repartitioning."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return any(
+        marker in plan
+        for marker in (
+            "Exchange hashpartitioning",
+            "Exchange rangepartitioning",
+            "Exchange SinglePartition",
+        )
+    )

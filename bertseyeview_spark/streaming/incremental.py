@@ -136,6 +136,22 @@ def sessionize_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup: drop repeated keys arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``) — the
+    bounded-state form of the ledger dedup for at-least-once upstream
+    sources (duplicate deliveries cluster in time, so the state store
+    only keys the current horizon instead of all history)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 _STATE_SCHEMA = "total long, total_value double"
 _OUT_SCHEMA = "user_id long, total_events long, total_value double"
 

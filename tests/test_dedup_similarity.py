@@ -137,3 +137,37 @@ def test_fingerprint_vs_python(spark, docs):
            TQ.fingerprint(docs, "doc_id", "text").collect()}
     for r in docs.collect():
         assert got[r["doc_id"]] == rolling_fingerprint(r["text"])
+
+
+def test_prefix_filter_output_identical(spark):
+    """ppjoin prefix filtering must be a pure candidate-pruning
+    optimization: output equals the unfiltered path exactly, including
+    near-threshold pairs."""
+    import bertseyeview_spark.operators.dedup as D
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),    # near-dup of 0
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six eight"),     # near-dup of 3
+        (5, "totally different words here now ok"),
+        (6, "alpha beta gamma unrelated tail words"), # partial overlap
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        plain = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=thr
+            ).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=thr,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert pref == plain, f"threshold {thr}"
+        assert plain  # non-empty: the comparison is meaningful

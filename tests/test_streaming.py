@@ -99,3 +99,32 @@ def test_stateful_running_counts(spark, tmp_path):
     got = {r["user_id"]: (r["total_events"], r["total_value"]) for r in
            spark.sql("SELECT * FROM state_out").collect()}
     assert got == {7: (2, 3.5), 9: (1, 4.0)}
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 7, "click", 1.0, None),
+        (1, dt.datetime(2024, 1, 1, 0, 1), 7, "click", 1.0, None),  # dup id
+        (2, dt.datetime(2024, 1, 1, 0, 2), 9, "view", 2.0, None),
+        (2, dt.datetime(2024, 1, 1, 0, 2), 9, "view", 2.0, None),   # dup id
+        (3, dt.datetime(2024, 1, 1, 0, 3), 7, "view", 3.0, None),
+    ]
+    src_dir = str(tmp_path / "ev3")
+    spark.createDataFrame(rows, S.EVENTS_SCHEMA).coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema(S.EVENTS_SCHEMA).parquet(src_dir)
+    q = (
+        S.dedup_stream(stream, ["event_id"], watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert got == [1, 2, 3]
