@@ -510,6 +510,22 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality/repetition filters: word-count bounds,
+    mean-word-length bounds, top-bigram repetition fraction, combined
+    keep flag — pure Catalyst splits + one grouped count."""
+    return TQ.gopher_quality_flags(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        min_words=20,
+        max_words=100,
+        min_mean_word_len=3.0,
+        max_mean_word_len=9.0,
+        max_top_bigram_frac=0.20,
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: the 1->N mapInPandas expansion over
     binary payloads (decode itself is a documented container
@@ -1106,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "motif_two_hop": q_motif_two_hop,
         "multimodal_frames": q_multimodal_frames,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1554,6 +1571,44 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "gopher_quality": """
+WITH w0 AS (
+  SELECT doc_id AS id,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+),
+b AS (
+  SELECT id, len(w) AS n_words,
+    round(CASE WHEN len(w) > 0
+      THEN list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+      ELSE 0.0 END, 6) AS mean_word_len,
+    list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1]) AS bigrams
+  FROM w0
+),
+bg AS (SELECT id, unnest(bigrams) AS bigram FROM b),
+tp AS (
+  SELECT id, max(c) AS top_c, sum(c) AS total_bg FROM (
+    SELECT id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+  ) GROUP BY id
+),
+j AS (
+  SELECT b.id, b.n_words, b.mean_word_len,
+    round(CASE WHEN coalesce(tp.total_bg, 0) > 0
+      THEN tp.top_c * 1.0 / tp.total_bg ELSE 0.0 END, 6)
+      AS top_bigram_frac
+  FROM b LEFT JOIN tp ON b.id = tp.id
+)
+SELECT id, CAST(n_words AS INT) AS n_words, mean_word_len, top_bigram_frac,
+  (n_words >= 20 AND n_words <= 100) AS word_count_ok,
+  (mean_word_len >= 3.0 AND mean_word_len <= 9.0) AS mean_word_len_ok,
+  (top_bigram_frac <= 0.20) AS repetition_ok,
+  (n_words >= 20 AND n_words <= 100
+   AND mean_word_len >= 3.0 AND mean_word_len <= 9.0
+   AND top_bigram_frac <= 0.20) AS keep
+FROM j
+""",
         "multimodal_frames": """
 WITH d AS (
   SELECT doc_id AS id, octet_length(encode(text)) AS len FROM documents

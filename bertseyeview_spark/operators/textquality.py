@@ -208,3 +208,89 @@ def pack_sequences(
         .withColumn("bin", F.floor(F.col("offset") / F.lit(budget)))
         .select("id", "n_tokens", "bin", "offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality flags
+# ---------------------------------------------------------------------------
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_top_bigram_frac: float = 0.20,
+) -> DataFrame:
+    """The published Gopher-rules quality/repetition filter family as
+    one plan: word-count bounds, mean-word-length bounds, and the
+    top-bigram repetition fraction (share of all bigrams taken by the
+    most frequent one — boilerplate/spam detector). Everything is
+    whole-stage-codegen'd splits + one (id, bigram) grouped count; no
+    Python. Returns per-doc signals + booleans + a combined keep flag.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array())
+        .otherwise(words)
+        .alias("w"),
+    ).select(
+        "id",
+        F.size("w").alias("n_words"),
+        F.round(
+            F.when(
+                F.size("w") > 0,
+                F.aggregate(
+                    F.transform(F.col("w"), lambda x: F.length(x)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.size("w"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_word_len"),
+        F.expr(
+            "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', w[i + 1]))"
+        ).alias("bigrams"),
+    )
+    bg = base.select("id", F.explode("bigrams").alias("bigram"))
+    top = (
+        bg.groupBy("id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
+    )
+    out = (
+        base.drop("bigrams")
+        .join(top, "id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.when(
+                    F.col("total_bg") > 0,
+                    F.col("top_c").cast("double") / F.col("total_bg"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+        .drop("top_c", "total_bg")
+    )
+    wc_ok = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    mwl_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    rep_ok = F.col("top_bigram_frac") <= max_top_bigram_frac
+    return out.select(
+        "id",
+        "n_words",
+        "mean_word_len",
+        "top_bigram_frac",
+        wc_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        rep_ok.alias("repetition_ok"),
+        (wc_ok & mwl_ok & rep_ok).alias("keep"),
+    )
