@@ -399,3 +399,36 @@ def search(
     if limit:
         out = out.limit(limit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# mergeable distinct-count sketches (the 100 TB COUNT(DISTINCT) path)
+# ---------------------------------------------------------------------------
+
+def sketch_distinct(
+    df: DataFrame, key_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketches of distinct values: (keys..., sketch binary).
+    Sketches are MERGEABLE — the property that matters at 100 TB:
+    per-partition/per-day sketches combine with :func:`merge_sketches`
+    without re-touching raw data (exact distinct needs a full reshuffle
+    of every value; a sketch union is bytes). Estimates are approximate
+    (~1.6%/sqrt(2^lg_k) relative error); use exact distinct when the
+    gate needs value equality."""
+    return df.groupBy(*key_cols).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_sketches(
+    sketches: DataFrame, key_cols: list[str], lg_k: int = 12
+) -> DataFrame:
+    """Union per-shard sketches to (keys..., approx_distinct)."""
+    return (
+        sketches.groupBy(*key_cols)
+        .agg(F.hll_union_agg(F.col("sketch")).alias("merged"))
+        .select(
+            *key_cols,
+            F.hll_sketch_estimate("merged").alias("approx_distinct"),
+        )
+    )
