@@ -78,3 +78,28 @@ def test_whole_stage_codegen_in_analytics(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_abundance_single_scan_of_mentions(spark, tmp_path):
+    """The mention set (the 100 TB side) must be scanned exactly once —
+    the single-pass tagged aggregation, not three groupBys."""
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.operators.analytics import label_abundance
+
+    path = str(tmp_path / "mentions_pq")
+    spark.range(0, 5000).select(
+        (F.col("id") % 500).alias("article"),
+        F.concat(F.lit("E"), (F.col("id") % 40).cast("string")).alias("entity"),
+    ).write.parquet(path)
+    mentions = spark.read.parquet(path)
+    articles = spark.range(0, 500).select(F.col("id").alias("article"))
+    s1 = spark.range(0, 200).select(F.col("id").alias("article"))
+    s2 = spark.range(300, 500).select(F.col("id").alias("article"))
+    out = label_abundance(mentions, articles, s1, s2, min_mentions=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the mention table is the only parquet input (subsets are ranges),
+    # so parquet-scan count == number of passes over the mention set
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 1, f"mention set scanned {n_scans}x"
+    assert out.count() > 0
