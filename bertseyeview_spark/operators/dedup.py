@@ -172,6 +172,30 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b")
             .dropDuplicates()
         )
+        # length filter (the classic companion to prefix filtering,
+        # e.g. "Scalable and Robust Set Similarity Join"): J(a,b) >= t
+        # forces t*|a| <= |b| <= |a|/t on the FULL set sizes, so
+        # size-skewed candidates are dropped before the verify join
+        sz = sizes
+        cand = (
+            cand.join(
+                sz.select(
+                    F.col("id").alias("id_a"), F.col("set_size").alias("_sza")
+                ),
+                "id_a",
+            )
+            .join(
+                sz.select(
+                    F.col("id").alias("id_b"), F.col("set_size").alias("_szb")
+                ),
+                "id_b",
+            )
+            .where(
+                (F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
+                & (F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+            )
+            .select("id_a", "id_b")
+        )
         # verify candidates against the full JOINABLE (cap-consistent)
         # shingle sets — output is identical to the unfiltered path
         # under the same cap settings

@@ -153,6 +153,11 @@ def test_prefix_filter_output_identical(spark):
         (4, "one two three four five six eight"),     # near-dup of 3
         (5, "totally different words here now ok"),
         (6, "alpha beta gamma unrelated tail words"), # partial overlap
+        # size-skewed: shares 0's shingles but is much longer — the
+        # length filter may prune it as a candidate, and the output
+        # must still match the plain path exactly
+        (7, "alpha beta gamma delta epsilon zeta plus a very long tail "
+            "of extra words that dilute the jaccard far below threshold"),
     ]
     docs = spark.createDataFrame(texts, "doc_id long, text string")
     for thr in (0.5, 0.8):
