@@ -281,11 +281,12 @@ def build_canonical_map_auto(
 
     if alias_dict is None:
         return build_canonical_map(spark, curation_rules, alias_dict, threshold)
-    rows = alias_dict.select("alias", "entity_id", "embedding").limit(
-        DRIVER_SIM_MAX_ROWS + 1
-    ).collect()
-    if len(rows) > DRIVER_SIM_MAX_ROWS:
+    # count-probe first (a few bytes to the driver); rows only travel
+    # after the dictionary has proven it fits the driver path
+    n = alias_dict.limit(DRIVER_SIM_MAX_ROWS + 1).count()
+    if n > DRIVER_SIM_MAX_ROWS:
         return build_canonical_map(spark, curation_rules, alias_dict, threshold)
+    rows = alias_dict.select("alias", "entity_id", "embedding").collect()
 
     pairs: list[tuple[str, str]] = []
     if curation_rules is not None:

@@ -171,6 +171,7 @@ def pack_sequences(
     tokens_col: str,
     budget: int,
     order_col: str | None = None,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins by
     *sequential fill* in a deterministic document order: bin id =
@@ -181,33 +182,39 @@ def pack_sequences(
     exactly replayable in ANSI SQL).
 
     Oversized documents (tokens > budget) still land in a bin —
-    downstream truncation policy is the caller's. At 100 TB, partition
-    the window by a corpus shard key so the sort is per-shard; the
-    global variant here is the small-scale/oracle shape.
+    downstream truncation policy is the caller's. ``shard_col`` is the
+    100 TB shape: the window partitions by the shard key so each shard
+    sorts independently (bins are then per-shard, which is what a
+    sharded training-data layout wants anyway); the global variant is
+    the small-scale/oracle shape.
 
     Returns (id, n_tokens, bin, offset) where offset is the doc's token
-    start position within the global stream."""
+    start position within its (global or shard) stream."""
     from pyspark.sql import Window
 
     order = order_col or id_col
-    w = Window.orderBy(F.col(order).asc())
     out = df.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).cast("long").alias("n_tokens"),
         F.col(order).alias("_ord"),
+        *([F.col(shard_col).alias("_shard")] if shard_col else []),
     )
-    cum_before = (
-        F.sum("n_tokens").over(
-            Window.orderBy(F.col("_ord").asc()).rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        )
+    if shard_col:
+        w = Window.partitionBy("_shard").orderBy(F.col("_ord").asc())
+    else:
+        w = Window.orderBy(F.col("_ord").asc())
+    cum_before = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    return (
+    sel = ["id", "n_tokens", "bin", "offset"] + (
+        ["_shard"] if shard_col else []
+    )
+    res = (
         out.withColumn("offset", F.coalesce(cum_before, F.lit(0)))
         .withColumn("bin", F.floor(F.col("offset") / F.lit(budget)))
-        .select("id", "n_tokens", "bin", "offset")
+        .select(*sel)
     )
+    return res.withColumnRenamed("_shard", shard_col) if shard_col else res
 
 
 # ---------------------------------------------------------------------------
