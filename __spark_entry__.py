@@ -471,6 +471,10 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="events_stream_")
     events.write.mode("overwrite").parquet(tmp)
     stream = spark.readStream.schema(events.schema).parquet(tmp)
+    try:  # re-runnable within one session (repeat driver invocations)
+        spark.catalog.dropTempView("rc_gate")
+    except Exception:  # noqa: BLE001
+        pass
     q = (
         stateful_running_counts(stream)
         .writeStream.format("memory")

@@ -151,7 +151,10 @@ def ngram_jaccard_pairs(
             ),
         )
         # prefix length over the CAPPED set size (the join universe):
-        # |s| - ceil(t * |s|) + 1
+        # |s| - ceil(t*|s|) + 1 == floor((1-t)*|s|) + 1. The epsilon
+        # matters: IEEE 0.8*5 = 4.0000000000000002 would ceil to 5 and
+        # SHORTEN the prefix (missed pairs); the +1e-9 errs toward a
+        # LONGER prefix (extra candidates, never dropped answers).
         cap_sizes = joinable.groupBy("id").agg(
             F.count("*").alias("_cap_size")
         )
@@ -159,24 +162,48 @@ def ngram_jaccard_pairs(
             ranked.join(cap_sizes, "id")
             .where(
                 F.col("_rk")
-                <= F.col("_cap_size")
-                - F.ceil(F.lit(threshold) * F.col("_cap_size"))
+                <= F.floor(
+                    F.lit(1.0 - threshold) * F.col("_cap_size") + F.lit(1e-9)
+                )
                 + F.lit(1)
             )
-            .select("id", "shingle")
+            .select("id", "shingle", "_rk", "_cap_size")
+        )
+        # candidates carry first-shared-prefix-token positions for the
+        # ppjoin positional filter: overlap <= 1 + min(|a|c - pa,
+        # |b|c - pb) for the first shared token at ranks (pa, pb)
+        pa = prefix.select(
+            F.col("id").alias("id_a"),
+            "shingle",
+            F.col("_rk").alias("_rka"),
+            F.col("_cap_size").alias("_capa"),
+        )
+        pb = prefix.select(
+            F.col("id").alias("id_b"),
+            "shingle",
+            F.col("_rk").alias("_rkb"),
+            F.col("_cap_size").alias("_capb"),
         )
         cand = (
-            prefix.select(F.col("id").alias("id_a"), "shingle")
-            .join(prefix.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+            pa.join(pb, "shingle")
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates()
+            .groupBy("id_a", "id_b", "_capa", "_capb")
+            .agg(F.min("_rka").alias("_pa"), F.min("_rkb").alias("_pb"))
         )
-        # length filter (the classic companion to prefix filtering,
-        # e.g. "Scalable and Robust Set Similarity Join"): J(a,b) >= t
-        # forces t*|a| <= |b| <= |a|/t on the FULL set sizes, so
-        # size-skewed candidates are dropped before the verify join
+        # length + positional filters (the classic ppjoin companions,
+        # e.g. "Scalable and Robust Set Similarity Join"): J >= t
+        # forces t*|a| <= |b| <= |a|/t on FULL sizes and a minimum
+        # overlap of t/(1+t)*(|a|+|b|) that the positional upper bound
+        # must reach. Epsilons err toward keeping candidates.
         sz = sizes
+        minoverlap = F.ceil(
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("_sza") + F.col("_szb"))
+            - F.lit(1e-9)
+        )
+        ubound = F.lit(1) + F.least(
+            F.col("_capa") - F.col("_pa"), F.col("_capb") - F.col("_pb")
+        )
         cand = (
             cand.join(
                 sz.select(
@@ -191,8 +218,9 @@ def ngram_jaccard_pairs(
                 "id_b",
             )
             .where(
-                (F.col("_szb") >= F.lit(threshold) * F.col("_sza"))
-                & (F.col("_sza") >= F.lit(threshold) * F.col("_szb"))
+                (F.col("_szb") >= F.lit(threshold) * F.col("_sza") - F.lit(1e-9))
+                & (F.col("_sza") >= F.lit(threshold) * F.col("_szb") - F.lit(1e-9))
+                & (ubound >= minoverlap)
             )
             .select("id_a", "id_b")
         )

@@ -176,3 +176,38 @@ def test_prefix_filter_output_identical(spark):
         }
         assert pref == plain, f"threshold {thr}"
         assert plain  # non-empty: the comparison is meaningful
+
+
+def test_prefix_filter_randomized_equality(spark):
+    """Randomized corpus with planted near-dups: prefix+length+positional
+    filtering must equal the plain path at multiple thresholds."""
+    import random
+
+    import bertseyeview_spark.operators.dedup as D
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 15)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    for i in range(60, 90):  # single-token mutations of earlier docs
+        base = rows[i - 60][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        plain = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=thr
+            ).collect()
+        }
+        pref = {
+            tuple(r)
+            for r in D.ngram_jaccard_pairs(
+                docs, "doc_id", "text", n=2, threshold=thr,
+                prefix_filter=True,
+            ).collect()
+        }
+        assert pref == plain, f"threshold {thr}"
