@@ -356,15 +356,18 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix_filter: ppjoin candidate pruning — provably output-
-    # identical (tests assert equality with the plain path), so the
-    # exact-SQL oracle is unchanged while the self-join touches only
-    # each document's rare-shingle prefix
+    # identical (tests assert equality with the plain path).
+    # max_shingle_freq=None: this query is graded against an EXACT SQL
+    # oracle, so the skew cap (an intentional approximation for
+    # boilerplate-heavy corpora) must be off here — exactness-sensitive
+    # call sites opt out explicitly.
     return D.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         n=3,
         threshold=0.5,
+        max_shingle_freq=None,
         prefix_filter=True,
     )
 
@@ -489,7 +492,14 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         updates.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
-        .select("user_id", "total_events", "total_value")
+        # symmetric rounding with the oracle's round(sum(value), 4) —
+        # the state fn rounds with Python round() (banker's), which can
+        # diverge from SQL rounding at half boundaries
+        .select(
+            "user_id",
+            "total_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
     )
 
 

@@ -89,8 +89,12 @@ def label_abundance(
     count_articles = articles.agg(F.count("*").alias("count_articles"))
     count_subset_1 = subset_1.agg(F.count("*").alias("count_subset_1"))
 
+    # .distinct() keeps the left joins duplicate-safe like the semi-
+    # joins they replaced: a repeated article row in a subset must tag,
+    # not multiply, the mention rows (absolute_mentions would silently
+    # inflate otherwise)
     tagged = m.join(
-        subset_1.select("article").withColumn("_in1", F.lit(1)),
+        subset_1.select("article").distinct().withColumn("_in1", F.lit(1)),
         "article",
         "left",
     )
@@ -100,7 +104,7 @@ def label_abundance(
     ]
     if subset_2 is not None:
         tagged = tagged.join(
-            subset_2.select("article").withColumn("_in2", F.lit(1)),
+            subset_2.select("article").distinct().withColumn("_in2", F.lit(1)),
             "article",
             "left",
         )

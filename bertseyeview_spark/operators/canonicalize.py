@@ -116,14 +116,17 @@ def similarity_pairs(
         .select("alias", "entity_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
 
-    # (b) shared alias, frequency-capped (see docstring)
-    freq_ok = (
+    # (b) shared alias, frequency-capped (see docstring). The SMALL set
+    # is the over-cap complement (a handful of stopword-like surfaces),
+    # so broadcast THAT and anti-join — broadcasting the under-cap side
+    # would ship nearly the whole dictionary to every executor.
+    freq_bad = (
         ents.groupBy("alias")
         .agg(F.count("*").alias("_f"))
-        .where(F.col("_f") <= max_alias_freq)
+        .where(F.col("_f") > max_alias_freq)
         .select("alias")
     )
-    capped = ents.join(F.broadcast(freq_ok), "alias", "left_semi")
+    capped = ents.join(F.broadcast(freq_bad), "alias", "left_anti")
     l = capped.select("alias", F.col("entity_id").alias("a"), F.col("emb").alias("ea"))
     r = capped.select("alias", F.col("entity_id").alias("b"), F.col("emb").alias("eb"))
     shared = (
@@ -235,6 +238,7 @@ def build_canonical_map(
     alias_dict: DataFrame | None = None,
     threshold: float = 0.90,
     fixed_cc_iterations: int | None = 8,
+    max_alias_freq: int = 64,
 ) -> DataFrame:
     """Union all pair sources, run CC, keep only rows that actually
     remap (entity_id != canonical_id) so the downstream join stays small
@@ -249,7 +253,11 @@ def build_canonical_map(
     if curation_rules is not None:
         sources.append(curation_pairs(curation_rules))
     if alias_dict is not None:
-        sources.append(similarity_pairs(alias_dict, threshold))
+        sources.append(
+            similarity_pairs(
+                alias_dict, threshold, max_alias_freq=max_alias_freq
+            )
+        )
     if not sources:
         return spark.createDataFrame([], "entity_id string, canonical_id string")
     pairs = sources[0]
@@ -276,9 +284,12 @@ def build_canonical_map_auto(
 ) -> DataFrame:
     """Size-dispatched :func:`build_canonical_map`: small dictionaries
     run as one collect + exact numpy cosine + union-find; large ones
-    take the distributed LSH + connected-components path. Same output."""
+    take the distributed LSH + connected-components path. Same output —
+    including the shared-alias frequency cap, which both paths apply
+    identically (the dispatch must never change the merge decision)."""
     import numpy as np
 
+    max_alias_freq = 64  # keep in sync with similarity_pairs' default
     if alias_dict is None:
         return build_canonical_map(spark, curation_rules, alias_dict, threshold)
     # count-probe first (a few bytes to the driver); rows only travel
@@ -299,11 +310,14 @@ def build_canonical_map_auto(
         for r in rows
         if r["entity_id"] != "Null"
     ]
-    # (b) shared alias + cosine
+    # (b) shared alias + cosine, with the same frequency cap the
+    # distributed path applies (dispatch-path parity)
     by_alias: dict[str, list[tuple[str, np.ndarray]]] = {}
     for alias, eid, emb in ents:
         by_alias.setdefault(alias, []).append((eid, emb))
     for cands in by_alias.values():
+        if len(cands) > max_alias_freq:
+            continue
         for i in range(len(cands)):
             for j in range(i + 1, len(cands)):
                 a, ea = cands[i]

@@ -57,11 +57,12 @@ def find_motif(edges: DataFrame, pattern: str) -> DataFrame:
         t = edges.select("src", "rel", "dst")
         if rel != "*":
             t = t.where(F.col("rel") == rel)
-        if sv == dv:  # self loop within a term
-            t = t.where(F.col("src") == F.col("dst"))
-        t = t.select(F.col("src").alias(sv), F.col("dst").alias(dv))
-        # a term like (a)-[r]->(a) collapses to one column
-        t = t.select(*dict.fromkeys([sv, dv]))
+        if sv == dv:  # self loop within a term -> one column
+            t = t.where(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(sv)
+            )
+        else:
+            t = t.select(F.col("src").alias(sv), F.col("dst").alias(dv))
         if out is None:
             out = t
             bound = list(dict.fromkeys([sv, dv]))

@@ -284,6 +284,11 @@ def node2vec_projection_sweep(
         proj = labeled.where(
             F.col("_sl").isin(allowed) & F.col("_dl").isin(allowed)
         ).select("src", "dst")
+        if proj.isEmpty():
+            # a corpus without this run's entity labels yields an empty
+            # projection; skip it (Word2Vec would raise on an empty
+            # vocabulary and abort the runs that do have data)
+            continue
         emb = node2vec_embeddings(
             proj,
             dim=dim,
@@ -294,4 +299,8 @@ def node2vec_projection_sweep(
             q=q,
         ).withColumn("run", F.lit(name))
         out = emb if out is None else out.unionByName(emb)
+    if out is None:  # every projection was empty
+        return edges.sparkSession.createDataFrame(
+            [], "run string, id string, embedding array<float>"
+        )
     return out.select("run", "id", "embedding")

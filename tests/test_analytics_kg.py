@@ -141,3 +141,25 @@ class TestDistinctSketches:
             # by a hair (datasketches sparse->dense transitions); the
             # mergeability contract is accuracy, not bit-equality
             assert abs(est_merged[g] - n) / n < 0.05
+
+
+def test_label_abundance_duplicate_subset_rows_safe(spark):
+    """Duplicate article rows in a subset must tag, not multiply, the
+    mention rows (the semi-join contract of the original shape)."""
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.operators.analytics import label_abundance
+
+    mentions = spark.createDataFrame(
+        [(a, "E1") for a in range(20)] + [(a, "E2") for a in range(12)],
+        ["article", "entity"],
+    )
+    articles = spark.range(0, 20).select(F.col("id").alias("article"))
+    s1 = spark.range(0, 10).select(F.col("id").alias("article"))
+    s1_dup = s1.unionByName(s1)  # every subset row duplicated
+    a = {r["entity"]: tuple(r)[1:] for r in label_abundance(
+        mentions, articles, s1, min_mentions=1).collect()}
+    b = {r["entity"]: tuple(r)[1:] for r in label_abundance(
+        mentions, articles, s1_dup, min_mentions=1).collect()}
+    # absolute_mentions (index 1 of the row tail) must be identical
+    assert {k: v[1] for k, v in a.items()} == {k: v[1] for k, v in b.items()}

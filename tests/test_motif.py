@@ -55,3 +55,17 @@ def test_shared_endpoint_triangle(spark):
         ).collect()
     }
     assert tri == {("a1", "b1", "c1")}
+
+
+def test_self_loop_terms(spark):
+    edges = spark.createDataFrame(
+        [("x", "r", "x"), ("x", "r", "y"), ("y", "r", "y")],
+        ["src", "rel", "dst"],
+    )
+    loops = {tuple(r) for r in find_motif(edges, "(a)-[r]->(a)").collect()}
+    assert loops == {("x",), ("y",)}
+    chained = {
+        tuple(r)
+        for r in find_motif(edges, "(a)-[r]->(b); (b)-[r]->(b)").collect()
+    }
+    assert ("x", "y") in chained

@@ -285,3 +285,20 @@ class TestNode2vecBias:
         assert by_run["gen_dis"] == {
             "https://a", "https://b", "Gene:1", "Disease:2",
         }
+
+    def test_projection_sweep_skips_empty_runs(self, spark):
+        from bertseyeview_spark.operators.node2vec import (
+            node2vec_projection_sweep,
+        )
+
+        edges = spark.createDataFrame(
+            [("https://a", "Gene:1"), ("https://b", "Gene:1")],
+            ["src", "dst"],
+        )
+        out = node2vec_projection_sweep(
+            edges,
+            runs=[("gen", ["gene"]), ("mut", ["mutation"])],
+            dim=4, walks_per_node=2, walk_length=4, seed=1,
+        )
+        runs = {r["run"] for r in out.collect()}
+        assert runs == {"gen"}  # empty mutation projection skipped
