@@ -524,6 +524,21 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked full-text retrieval: BM25 over the documents table for a
+    bag of query terms — two grouped aggregations + broadcast corpus
+    scalars, no UDFs, top-n deterministic."""
+    from bertseyeview_spark.operators.retrieval import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        query_terms=["spark", "vector", "stream", "batch", "sort"],
+        top_n=25,
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rules quality/repetition filters: word-count bounds,
     mean-word-length bounds, top-bigram repetition fraction, combined
@@ -1137,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "motif_two_hop": q_motif_two_hop,
         "multimodal_frames": q_multimodal_frames,
         "gopher_quality": q_gopher_quality,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1585,6 +1601,31 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "bm25_search": """
+WITH toks AS (
+  SELECT doc_id AS id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
+    len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+  FROM documents
+),
+per_doc AS (SELECT id, any_value(dl) AS dl FROM toks GROUP BY id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM per_doc),
+qt AS (SELECT * FROM toks
+       WHERE term IN ('spark', 'vector', 'stream', 'batch', 'sort')),
+tf AS (SELECT id, term, count(*) AS tf, any_value(dl) AS dl
+       FROM qt GROUP BY 1, 2),
+dfx AS (SELECT term, count(DISTINCT id) AS df FROM qt GROUP BY 1),
+sc AS (
+  SELECT tf.id,
+    ln((s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+      * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / s.avg_dl)) AS contrib
+  FROM tf JOIN dfx USING (term), stats s
+)
+SELECT id, round(sum(contrib), 6) AS score,
+       count(*) AS n_terms_hit
+FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 25
+""",
         "gopher_quality": """
 WITH w0 AS (
   SELECT doc_id AS id,

@@ -1,0 +1,93 @@
+"""Full-text retrieval scoring — TF-IDF / BM25 over the corpus.
+
+The reference's search surface is attribute predicates (F5/F6, see
+analytics.search); a corpus engine at web scale also needs ranked
+text retrieval. BM25 (the published Robertson/Sparck-Jones ranking
+function, the default in Lucene/Elasticsearch) decomposes into exactly
+the relational pieces Catalyst is good at:
+
+    tf   — explode tokens, count per (doc, term)      [one shuffle]
+    df   — count distinct docs per term               [same pass]
+    idf  — ln((N - df + 0.5)/(df + 0.5) + 1)          [scalar math]
+    norm — doc length / corpus average length         [broadcast 1-row]
+
+so the whole scorer is two grouped aggregations plus broadcast scalars
+— no UDFs, no per-row Python, and the arithmetic is exactly
+replayable in ANSI SQL for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_search(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 25,
+) -> DataFrame:
+    """Rank documents by BM25 against a bag of query terms.
+
+    Returns (id, score, n_terms_hit) for the top_n docs, ties broken by
+    id — deterministic at any parallelism. Query terms are lowercased;
+    document tokenization is whitespace (the engine's standard token
+    model). At 100 TB the tf/df pass is the classic inverted-index
+    build: one explode + grouped count, partial aggregation map-side.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
+    ).select("id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+
+    # corpus scalars as broadcast 1-row relations (no collect)
+    stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
+    scalars = stats.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+
+    qt = toks.where(F.col("term").isin(terms))
+    tf = qt.groupBy("id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = qt.groupBy("term").agg(F.count_distinct("id").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.col("avg_dl")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(top_n)
+    )

@@ -163,3 +163,45 @@ def test_label_abundance_duplicate_subset_rows_safe(spark):
         mentions, articles, s1_dup, min_mentions=1).collect()}
     # absolute_mentions (index 1 of the row tail) must be identical
     assert {k: v[1] for k, v in a.items()} == {k: v[1] for k, v in b.items()}
+
+
+def test_bm25_vs_python_oracle(spark):
+    import math
+
+    from bertseyeview_spark.operators.retrieval import bm25_search
+
+    texts = {
+        0: "spark shuffle spark join spark",
+        1: "window functions and state in spark",
+        2: "totally unrelated words only here",
+        3: "vector vector stream",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    q = ["spark", "vector"]
+    got = {r["id"]: (r["score"], r["n_terms_hit"]) for r in bm25_search(
+        docs, "doc_id", "text", q, top_n=10).collect()}
+
+    tok = {i: t.split() for i, t in texts.items()}
+    n = len(tok)
+    avg = sum(len(w) for w in tok.values()) / n
+    df = {t: sum(1 for w in tok.values() if t in w) for t in q}
+    k1, b = 1.2, 0.75
+    want = {}
+    for i, w in tok.items():
+        s, hits = 0.0, 0
+        for t in q:
+            tf = w.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avg))
+        if hits:
+            want[i] = (round(s, 6), hits)
+    assert got == want
+    # rarer-term matches outrank common-term matches (idf at work):
+    # doc 3 hits 'vector' (df=1) twice; docs 0/1 only hit 'spark' (df=2)
+    assert max(want, key=lambda i: want[i][0]) == 3
+    assert want[0][0] > want[1][0]  # more tf of the same term -> higher
