@@ -1,0 +1,157 @@
+"""BPE tokenizer training + application over the corpus.
+
+Training-data pipelines train tokenizers on the same corpus they clean;
+the classic observation (used by every production trainer) is that BPE
+merge learning needs only the WORD FREQUENCY TABLE, not the corpus:
+
+    corpus --[distributed groupBy word]--> (word, count)   [the 100 TB part]
+    (word, count) --[merge loop]--> ordered merge list     [vocab-sized]
+
+So the Spark job is one shuffle over the corpus; the merge loop runs
+over the vocabulary (probe-checked to fit the driver, like the
+canonical-map dispatch — a 100 TB corpus still has a bounded word
+vocabulary, and past the bound the loop's pair-counting step is itself
+one more groupBy per merge). Application is a batched Arrow UDF with
+the learned merges broadcast (model-broadcast pattern).
+
+Determinism: merge selection breaks ties by (count desc, pair asc) —
+identical at any parallelism; application is a pure function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "▁"  # sentencepiece-style marker
+
+VOCAB_DRIVER_MAX_ROWS = 2_000_000
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over whitespace tokens — the distributed pass."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _pair_counts(vocab: dict[tuple[str, ...], int]) -> dict[tuple[str, str], int]:
+    pairs: dict[tuple[str, str], int] = {}
+    for symbols, freq in vocab.items():
+        for a, b in zip(symbols, symbols[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + freq
+    return pairs
+
+
+def _merge_vocab(
+    vocab: dict[tuple[str, ...], int], pair: tuple[str, str]
+) -> dict[tuple[str, ...], int]:
+    a, b = pair
+    merged = a + b
+    out: dict[tuple[str, ...], int] = {}
+    for symbols, freq in vocab.items():
+        res = []
+        i = 0
+        while i < len(symbols):
+            if i < len(symbols) - 1 and symbols[i] == a and symbols[i + 1] == b:
+                res.append(merged)
+                i += 2
+            else:
+                res.append(symbols[i])
+                i += 1
+        out[tuple(res)] = out.get(tuple(res), 0) + freq
+    return out
+
+
+def learn_bpe(
+    word_freqs: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    """Learn an ordered merge list from a (word, count) table.
+
+    The vocabulary is probe-checked to fit the driver (the standard
+    trainer shape); the loop is the published BPE algorithm with a
+    deterministic (count desc, pair asc) tiebreak."""
+    n = word_freqs.limit(VOCAB_DRIVER_MAX_ROWS + 1).count()
+    if n > VOCAB_DRIVER_MAX_ROWS:
+        raise ValueError(
+            f"vocabulary exceeds {VOCAB_DRIVER_MAX_ROWS} rows; pre-trim "
+            "the word-frequency table (min-count filter) before training"
+        )
+    rows = word_freqs.collect()
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = tuple(list(r["word"]) + [END_OF_WORD])
+        vocab[key] = vocab.get(key, 0) + int(r["count"])
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = _pair_counts(vocab)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = _merge_vocab(vocab, best)
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word (greedy lowest-rank-first —
+    the published BPE encode)."""
+    symbols = list(word) + [END_OF_WORD]
+    while len(symbols) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(symbols, symbols[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        symbols[best_i : best_i + 2] = [
+            symbols[best_i] + symbols[best_i + 1]
+        ]
+    return symbols
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — batched Arrow application
+    of the learned merges (broadcast via closure; merges are KBs)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, counts = [], [], []
+            for i, t in zip(pdf["id"], pdf["t"]):
+                out: list[str] = []
+                for w in (t or "").lower().split():
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                ids.append(i)
+                toks.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame(
+                {"id": ids, "tokens": toks, "n_tokens": counts}
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    return src.mapInPandas(
+        run, schema="id long, tokens array<string>, n_tokens int"
+    )
