@@ -524,6 +524,24 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning recipe: language gate -> Gopher quality
+    gate -> near-dup keep-one, one verdict row per document with the
+    first failing stage as the reason."""
+    from bertseyeview_spark.plans.cleaning import clean_corpus
+
+    return clean_corpus(
+        _t(spark, sf_dir, "documents"),
+        keep_langs=("en",),
+        min_words=20,
+        max_words=100,
+        min_mean_word_len=3.0,
+        max_mean_word_len=9.0,
+        max_top_bigram_frac=0.20,
+        dedup_threshold=0.8,
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked full-text retrieval: BM25 over the documents table for a
     bag of query terms — two grouped aggregations + broadcast corpus
@@ -1153,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "gopher_quality": q_gopher_quality,
         "bm25_search": q_bm25_search,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1601,6 +1620,83 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "corpus_clean": f"""
+WITH RECURSIVE lg AS (
+  SELECT doc_id AS id, text, {lang_cols},
+         {lang_max} AS m
+  FROM documents
+),
+w0 AS (
+  SELECT id, text,
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+    (CASE {lang_case} ELSE 'und' END) = 'en' AS lang_ok
+  FROM lg
+),
+b AS (
+  SELECT id, text, lang_ok, len(w) AS n_words,
+    round(CASE WHEN len(w) > 0
+      THEN list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+      ELSE 0.0 END, 6) AS mwl,
+    list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> w[i] || ' ' || w[i + 1]) AS bigrams
+  FROM w0
+),
+tp AS (
+  SELECT id, max(c) AS top_c, sum(c) AS total_bg FROM (
+    SELECT id, bigram, count(*) AS c
+    FROM (SELECT id, unnest(bigrams) AS bigram FROM b) GROUP BY 1, 2
+  ) GROUP BY id
+),
+gates AS (
+  SELECT b.id, b.text, b.lang_ok,
+    (b.n_words >= 20 AND b.n_words <= 100
+     AND b.mwl >= 3.0 AND b.mwl <= 9.0
+     AND round(CASE WHEN coalesce(tp.total_bg, 0) > 0
+           THEN tp.top_c * 1.0 / tp.total_bg ELSE 0.0 END, 6) <= 0.20)
+      AS quality_ok
+  FROM b LEFT JOIN tp ON b.id = tp.id
+),
+surv AS (SELECT id, text FROM gates WHERE lang_ok AND quality_ok),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(t) - 1, 1)),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+  FROM (SELECT id, string_split_regex(trim(lower(text)), '\\s+') t
+        FROM surv) s
+  WHERE len(t) >= 3
+),
+sizes AS (SELECT id, count(*) sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.id id_a, b.id id_b, count(*) c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a::VARCHAR AS a, id_b::VARCHAR AS b
+  FROM common JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+  WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.8
+),
+und AS (SELECT a, b FROM prs UNION SELECT b AS a, a AS b FROM prs),
+reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+dup AS (
+  SELECT surv.id,
+    coalesce(comp.rep, surv.id::VARCHAR) = surv.id::VARCHAR AS dup_ok
+  FROM surv LEFT JOIN comp ON surv.id::VARCHAR = comp.id
+)
+SELECT g.id,
+  (g.lang_ok AND g.quality_ok AND coalesce(dup.dup_ok, FALSE)) AS keep,
+  CASE WHEN NOT g.lang_ok THEN 'language'
+       WHEN NOT g.quality_ok THEN 'quality'
+       WHEN NOT coalesce(dup.dup_ok, TRUE) THEN 'duplicate'
+       ELSE NULL END AS reason
+FROM gates g LEFT JOIN dup ON g.id = dup.id
+""",
         "bm25_search": """
 WITH toks AS (
   SELECT doc_id AS id,
