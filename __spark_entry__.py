@@ -524,6 +524,27 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (graph clustering signal): oriented
+    wedge enumeration + closing semi-join over a deterministic ring
+    graph (v -> v+1, v -> v+2 mod 100 — every vertex closes exactly
+    three triangles)."""
+    from bertseyeview_spark.operators.graph import triangle_counts
+
+    v = (
+        _t(spark, sf_dir, "customer")
+        .select(F.pmod(F.col("c_custkey"), F.lit(100)).alias("v"))
+        .distinct()
+    )
+
+    def node(col):
+        return F.lpad(col.cast("string"), 3, "0")
+
+    e1 = v.select(node(F.col("v")).alias("src"), node((F.col("v") + 1) % 100).alias("dst"))
+    e2 = v.select(node(F.col("v")).alias("src"), node((F.col("v") + 2) % 100).alias("dst"))
+    return triangle_counts(e1.unionByName(e2))
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed cleaning recipe: language gate -> Gopher quality
     gate -> near-dup keep-one, one verdict row per document with the
@@ -1172,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
+        "triangle_counts": q_triangle_counts,
     }
 
 
@@ -1620,6 +1642,33 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "triangle_counts": """
+WITH v AS (SELECT DISTINCT c_custkey % 100 AS v FROM customer),
+e0 AS (
+  SELECT lpad(v::VARCHAR, 3, '0') AS a,
+         lpad(((v + 1) % 100)::VARCHAR, 3, '0') AS b FROM v
+  UNION
+  SELECT lpad(v::VARCHAR, 3, '0'),
+         lpad(((v + 2) % 100)::VARCHAR, 3, '0') FROM v
+),
+und AS (SELECT a, b FROM e0 WHERE a <> b
+        UNION SELECT b AS a, a AS b FROM e0 WHERE a <> b),
+o AS (SELECT a, b FROM und WHERE a < b),
+tri AS (
+  SELECT x.a, x.b, y.b AS c
+  FROM o x JOIN o y ON x.a = y.a AND x.b < y.b
+  WHERE EXISTS (SELECT 1 FROM o z WHERE z.a = x.b AND z.b = y.b)
+),
+pn AS (
+  SELECT id, count(*) AS n FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY id
+)
+SELECT nodes.id, CAST(coalesce(pn.n, 0) AS BIGINT) AS n_triangles
+FROM (SELECT DISTINCT a AS id FROM und) nodes
+LEFT JOIN pn ON nodes.id = pn.id
+""",
         "corpus_clean": f"""
 WITH RECURSIVE lg AS (
   SELECT doc_id AS id, text, {lang_cols},

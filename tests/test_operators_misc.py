@@ -168,3 +168,23 @@ class TestNodeProperties:
         assert {tuple(r) for r in view.collect()} == {
             ("https://a", "T1"), ("https://b", "T2"),
         }
+
+
+def test_triangle_counts(spark):
+    from bertseyeview_spark.operators.graph import triangle_counts
+
+    # K4 minus one edge: triangles {a,b,c} and {a,b,d}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d"), ("b", "d")],
+        ["src", "dst"],
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1, "d": 1}
+    # direction/duplicates must not matter
+    rev = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("c", "a"), ("d", "a"), ("b", "d"),
+         ("a", "b")],
+        ["src", "dst"],
+    )
+    got2 = {r["id"]: r["n_triangles"] for r in triangle_counts(rev).collect()}
+    assert got2 == got
