@@ -524,6 +524,38 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: PII spans replaced with typed placeholders
+    + per-kind counts, all codegen'd regex (patterns chosen dialect-safe
+    for Java regex and RE2). The corpus is PII-free, so deterministic
+    spans are injected first — replayed identically by the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return TQ.redact_pii(injected, "doc_id", "text")
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts (graph clustering signal): oriented
     wedge enumeration + closing semi-join over a deterministic ring
@@ -1194,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
         "triangle_counts": q_triangle_counts,
+        "pii_redaction": q_pii_redaction,
     }
 
 
@@ -1642,6 +1675,34 @@ men AS (
 SELECT DISTINCT cit.a, cit.b, men.e
 FROM cit JOIN men ON cit.b = men.b
 """.format(ent_values=ent_values),
+        "pii_redaction": """
+WITH inj AS (
+  SELECT doc_id AS id,
+    text ||
+    CASE WHEN doc_id % 3 = 0
+      THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+      ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+      THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-4567'
+      ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0
+      THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+      ELSE '' END AS text
+  FROM documents
+)
+SELECT id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\\d{3}[- .]\\d{3}[- .]\\d{4}', '[PHONE]', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g') AS text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\\d{3}[- .]\\d{3}[- .]\\d{4}')) AS INT) AS n_phone,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4
+FROM inj
+""",
         "triangle_counts": """
 WITH v AS (SELECT DISTINCT c_custkey % 100 AS v FROM customer),
 e0 AS (

@@ -301,3 +301,51 @@ def gopher_quality_flags(
         rep_ok.alias("repetition_ok"),
         (wc_ok & mwl_ok & rep_ok).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# dialect-safe patterns: identical semantics under Java regex (Spark)
+# and RE2 (DuckDB) — no backrefs, no lookaround
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\d{3}[- .]\d{3}[- .]\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Replace PII spans with [KIND] placeholders and count what was
+    redacted — the standard pre-training hygiene pass, entirely
+    codegen'd regexp_replace/extract (no UDFs). Patterns apply in dict
+    order (earlier kinds consume their spans first), so counts are
+    deterministic and the pipeline is one projection.
+
+    Returns (id, text, n_<kind>... per pattern)."""
+    patterns = patterns or PII_PATTERNS
+    out = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    counts = []
+    for kind, pat in patterns.items():
+        counts.append(
+            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+                f"n_{kind}"
+            )
+        )
+    out = out.select("id", "text", *counts)
+    red = F.col("text")
+    for kind, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
+    return out.select(
+        "id",
+        red.alias("text"),
+        *[F.col(f"n_{k}") for k in patterns],
+    )

@@ -188,3 +188,23 @@ def test_triangle_counts(spark):
     )
     got2 = {r["id"]: r["n_triangles"] for r in triangle_counts(rev).collect()}
     assert got2 == got
+
+
+def test_pii_redaction(spark):
+    from bertseyeview_spark.operators.textquality import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@test.org or x@y.io and call 555-123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.2 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["text"] and "[PHONE]" in out[1]["text"]
+    assert "@" not in out[1]["text"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["text"].count("[IPV4]") == 2
+    assert out[3]["text"] == "nothing sensitive here"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
