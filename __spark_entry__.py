@@ -355,8 +355,12 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # prefix_filter: ppjoin candidate pruning — provably output-
-    # identical (tests assert equality with the plain path).
+    # prefix_filter="auto" (the default): ppjoin candidate pruning is
+    # output-identical (tests assert equality with the plain path) but
+    # its window+joins only pay off when the shingle-join candidate
+    # volume is large — the operator probes that volume and picks the
+    # path, so this query runs the cheap exact join at bench scale and
+    # the pruned join at web scale.
     # max_shingle_freq=None: this query is graded against an EXACT SQL
     # oracle, so the skew cap (an intentional approximation for
     # boilerplate-heavy corpora) must be off here — exactness-sensitive
@@ -368,7 +372,6 @@ def q_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.5,
         max_shingle_freq=None,
-        prefix_filter=True,
     )
 
 
@@ -492,9 +495,8 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         updates.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") == 1)
-        # symmetric rounding with the oracle's round(sum(value), 4) —
-        # the state fn rounds with Python round() (banker's), which can
-        # diverge from SQL rounding at half boundaries
+        # the state fn emits the raw running double; round exactly ONCE
+        # here, symmetric with the oracle's round(sum(value), 4)
         .select(
             "user_id",
             "total_events",
@@ -550,6 +552,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 did % 7 == 0,
                 F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" intl +1-"),
+                    F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+                    F.lit("-555-0199"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 17 == 0,
+                F.concat(
+                    F.lit(" iban GB82WEST"),
+                    F.lpad((did % 100000000).cast("string"), 8, "0"),
+                ),
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
@@ -1687,21 +1711,52 @@ WITH inj AS (
       ELSE '' END ||
     CASE WHEN doc_id % 7 = 0
       THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+      ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0
+      THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 0
+      THEN ' intl +1-' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0') || '-555-0199'
+      ELSE '' END ||
+    CASE WHEN doc_id % 17 = 0
+      THEN ' iban GB82WEST' || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
       ELSE '' END AS text
   FROM documents
-)
-SELECT id,
-  regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-    '\\d{3}[- .]\\d{3}[- .]\\d{4}', '[PHONE]', 'g'),
-    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g') AS text,
+),
+-- sequential count-then-redact: each kind counts on the text AFTER
+-- every earlier kind was redacted (matches redact_pii exactly)
+s1 AS (SELECT id,
   CAST(len(regexp_extract_all(text,
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
-  CAST(len(regexp_extract_all(text,
-    '\\d{3}[- .]\\d{3}[- .]\\d{4}')) AS INT) AS n_phone,
-  CAST(len(regexp_extract_all(text,
-    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4
-FROM inj
+  regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+  FROM inj),
+s2 AS (SELECT id, n_email,
+  CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+  regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS t
+  FROM s1),
+s3 AS (SELECT id, n_email, n_ssn,
+  CAST(len(regexp_extract_all(t,
+    '\\+\\d{1,3}[- .]\\d{3}[- .]\\d{3}[- .]\\d{4}')) AS INT) AS n_intl_phone,
+  regexp_replace(t,
+    '\\+\\d{1,3}[- .]\\d{3}[- .]\\d{3}[- .]\\d{4}', '[INTL_PHONE]', 'g') AS t
+  FROM s2),
+s4 AS (SELECT id, n_email, n_ssn, n_intl_phone,
+  CAST(len(regexp_extract_all(t, '\\d{3}[- .]\\d{3}[- .]\\d{4}')) AS INT) AS n_phone,
+  regexp_replace(t, '\\d{3}[- .]\\d{3}[- .]\\d{4}', '[PHONE]', 'g') AS t
+  FROM s3),
+s5 AS (SELECT id, n_email, n_ssn, n_intl_phone, n_phone,
+  CAST(len(regexp_extract_all(t,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+  regexp_replace(t,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IPV4]', 'g') AS t
+  FROM s4),
+s6 AS (SELECT id, n_email, n_ssn, n_intl_phone, n_phone, n_ipv4,
+  CAST(len(regexp_extract_all(t, '\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b')) AS INT) AS n_iban,
+  regexp_replace(t, '\\b[A-Z]{2}\\d{2}[A-Z0-9]{10,30}\\b', '[IBAN]', 'g') AS t
+  FROM s5)
+SELECT id, t AS text, n_email, n_ssn, n_intl_phone, n_phone, n_ipv4, n_iban
+FROM s6
 """,
         "triangle_counts": """
 WITH v AS (SELECT DISTINCT c_custkey % 100 AS v FROM customer),

@@ -26,6 +26,25 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _finalize(out: DataFrame, *caches: DataFrame) -> DataFrame:
+    """Materialize ``out`` (localCheckpoint, eager) and release the
+    intermediate caches that fed it.
+
+    Why not leave the persists in place: these builders cache the
+    shingle table for multi-consumer reuse (sizes + join sides +
+    verification), but the cache outlives the call — repeated dedup
+    calls in one long-lived session accumulate storage memory. A
+    localCheckpoint of the (small) pair/result set truncates lineage so
+    the shingle cache is no longer referenced and can be dropped
+    eagerly (``unpersist(blocking=True)``); the checkpoint blocks
+    themselves are ContextCleaner-managed and are reclaimed when the
+    returned frame is garbage collected, unlike a leaked persist."""
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist(blocking=True)
+    return out
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -84,23 +103,40 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
-    log_dropped: bool = False,
-    prefix_filter: bool = False,
+    log_dropped: bool = True,
+    prefix_filter: bool | str = "auto",
+    auto_prefix_candidates: int = 20_000_000,
+    auto_min_docs: int = 100_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
-    ``prefix_filter=True`` enables ppjoin-style prefix filtering: order
-    each document's shingles by ascending global frequency (rarest
-    first, shingle text as tiebreak) and join only on each document's
-    first ``|s| - ceil(t*|s|) + 1`` shingles. Two sets with Jaccard >=
-    t must share at least one prefix token under a common global order
-    (the published prefix-filtering guarantee), so the candidate set
-    still contains every qualifying pair while the join touches only
-    the rare tail of each document — at web scale this shrinks the
-    equi-join's build input by ~t of every document's shingles and
-    composes with the frequency cap (applied first). Verification joins
-    candidates back to the FULL shingle sets, so the output is
-    byte-identical to the unfiltered path (asserted in tests).
+    ``prefix_filter`` enables ppjoin-style prefix filtering: order each
+    document's shingles by ascending global frequency (rarest first,
+    shingle text as tiebreak) and join only on each document's first
+    ``|s| - ceil(t*|s|) + 1`` shingles. Two sets with Jaccard >= t must
+    share at least one prefix token under a common global order (the
+    published prefix-filtering guarantee), so the candidate set still
+    contains every qualifying pair while the join touches only the rare
+    tail of each document — at web scale this shrinks the equi-join's
+    build input by ~t of every document's shingles and composes with
+    the frequency cap (applied first). Verification joins candidates
+    back to the FULL shingle sets, so the output is byte-identical to
+    the unfiltered path (asserted in tests).
+
+    The filter's row_number window + extra joins only pay for
+    themselves when the raw candidate volume is large; at small scale
+    they are pure overhead (a measured 4x slowdown at sf0.1). Default
+    ``"auto"`` is therefore cost-based, in two tiers so the decision
+    itself stays cheap: (1) a corpus row count — below
+    ``auto_min_docs`` docs the candidate space cannot justify the
+    pruning machinery, take the plain path with no further probing;
+    (2) past that, one aggregation over the shingle-frequency table
+    (needed anyway when the cap is on) computes the exact candidate
+    volume sum_s f_s*(f_s-1)/2 — the row count the shingle equi-join
+    would produce — and prefix filtering turns on only when it exceeds
+    ``auto_prefix_candidates`` (default 2e7 rows, roughly where the
+    pruning joins cost less than the avoided join volume). Pass
+    True/False to force either path; output is identical.
 
     ``max_shingle_freq`` drops ubiquitous shingles (boilerplate) before
     the self-join — the skew guard: a shingle appearing in f docs
@@ -110,33 +146,46 @@ def ngram_jaccard_pairs(
     set sizes, so Jaccard can only under-estimate for pairs whose
     overlap was mostly boilerplate — the desired bias for dedup. Pass
     ``None`` to disable (exact semantics, e.g. vs a SQL oracle on data
-    known shingle-skew-free). ``log_dropped=True`` runs one extra count
-    job and prints how many ubiquitous shingles were excluded (no
-    silent caps at scale).
+    known shingle-skew-free). The cap is never silent: with
+    ``log_dropped`` (default True) the number of excluded shingles is
+    computed inside the same frequency aggregation the cap already
+    needs — no extra job — and printed whenever it is non-zero.
     """
     sh = shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
 
+    # tier-1 auto decision: a corpus row count (cheap — no shuffle,
+    # parquet answers it from footers) settles small inputs without
+    # ever materializing shingle statistics
+    if prefix_filter == "auto" and df.count() < auto_min_docs:
+        prefix_filter = False
+
     joinable = sh
-    if max_shingle_freq is not None:
-        freq_ok = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("f"))
-            .where(F.col("f") <= max_shingle_freq)
-            .select("shingle")
-        )
-        if log_dropped:
-            n_dropped = (
-                sh.groupBy("shingle")
-                .agg(F.count("*").alias("f"))
-                .where(F.col("f") > max_shingle_freq)
-                .count()
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
+    if max_shingle_freq is not None or prefix_filter == "auto":
+        cap = max_shingle_freq
+        in_join = F.lit(True) if cap is None else (F.col("f") <= cap)
+        probe = freq.agg(
+            F.sum(F.when(~in_join, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(
+                F.when(in_join, F.col("f") * (F.col("f") - 1) / 2).otherwise(0)
+            ).alias("cand_volume"),
+        ).first()
+        n_dropped = int(probe["n_dropped"] or 0)
+        cand_volume = int(probe["cand_volume"] or 0)
+        if max_shingle_freq is not None:
+            if log_dropped and n_dropped:
+                print(
+                    f"[ngram_jaccard_pairs] dropped {n_dropped} shingles "
+                    f"with doc-frequency > {max_shingle_freq}"
+                )
+            joinable = sh.join(
+                freq.where(F.col("f") <= max_shingle_freq).select("shingle"),
+                "shingle",
+                "semi",
             )
-            print(
-                f"[ngram_jaccard_pairs] dropped {n_dropped} shingles "
-                f"with doc-frequency > {max_shingle_freq}"
-            )
-        joinable = sh.join(freq_ok, "shingle", "semi")
+        if prefix_filter == "auto":
+            prefix_filter = cand_volume > auto_prefix_candidates
 
     if prefix_filter:
         from pyspark.sql import Window
@@ -256,7 +305,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+    return _finalize(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +395,7 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
         .withColumn(
@@ -357,6 +406,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _finalize(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -398,14 +448,39 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return src.mapInPandas(run, schema="id long, simhash long")
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def _band_bounds(bits: int, bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band, splitting ``bits`` as evenly as possible
+    (widths differ by at most 1, wider bands first)."""
+    base, rem = divmod(bits, bands)
+    bounds: list[tuple[int, int]] = []
+    shift = 0
+    for b in range(bands):
+        w = base + (1 if b < rem else 0)
+        bounds.append((shift, w))
+        shift += w
+    return bounds
+
+
+def simhash_candidates_from_sigs(
+    sigs: DataFrame, max_hamming: int = 3, bands: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidate
-    pairs come from 16-bit band buckets (pigeonhole: <=3 differing bits
-    over 4 bands leaves >=1 identical band); verification is JVM
-    ``bit_count(a ^ b)``."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    """Candidate near-dup pairs from a (id, simhash) table via banded
+    buckets, verified with JVM ``bit_count(a ^ b) <= max_hamming``.
+
+    The band count is DERIVED from the hamming budget: with
+    ``bands = max_hamming + 1`` (the default), any two signatures
+    differing in <= max_hamming bits must agree on at least one whole
+    band (pigeonhole), so recall over the hamming budget is guaranteed
+    — not empirical — at every budget, not just the classic 3-bits/4-
+    bands point. The cost of a larger budget is narrower bands (64 //
+    bands bits) and therefore denser buckets; that trade is inherent to
+    SimHash, and callers at web scale should keep max_hamming small
+    (3-4) where bands stay 13-16 bits wide."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("bands must be <= 64 for a 64-bit signature")
+    bounds = _band_bounds(64, bands)
     banded = sigs.select(
         "id",
         "simhash",
@@ -414,9 +489,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bucket"),
+                        F.shiftright("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
                     )
-                    for b in range(4)
+                    for b, (shift, width) in enumerate(bounds)
                 ]
             )
         ).alias("bb"),
@@ -436,6 +513,21 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates
+    come from ``max_hamming + 1`` band buckets (pigeonhole guarantee —
+    see :func:`simhash_candidates_from_sigs`); verification is JVM
+    ``bit_count(a ^ b)``."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return simhash_candidates_from_sigs(sigs, max_hamming, bands)
+
+
 def simhash_verified_pairs(
     df: DataFrame,
     id_col: str,
@@ -450,11 +542,15 @@ def simhash_verified_pairs(
     Jaccard >= threshold, as (id_a, id_b, jaccard).
 
     This is the production dedup shape — cheap bitwise candidate
-    generation, exact verification only on the pruned set. It is also
-    what makes the operator oracle-checkable: when the hamming budget
-    saturates recall (every true Jaccard>=t pair is a candidate —
-    asserted at the test SF), the output equals the exact-SQL Jaccard
-    join, so an ANSI oracle can grade it without replaying crc32."""
+    generation, exact verification only on the pruned set. Candidate
+    recall over the hamming budget is now GUARANTEED (bands =
+    max_hamming + 1, pigeonhole — see simhash_candidates_from_sigs),
+    so the only remaining approximation is SimHash itself: whether
+    hamming <= max_hamming captures every true Jaccard >= t pair is
+    corpus-dependent (measured 100% at the test SFs; raise max_hamming
+    for adversarial corpora — bands scale with it automatically). When
+    that holds, the output equals the exact-SQL Jaccard join, so an
+    ANSI oracle can grade it without replaying crc32."""
     cands = simhash_pairs(df, id_col, text_col, max_hamming).select(
         "id_a", "id_b"
     )
@@ -468,7 +564,7 @@ def simhash_verified_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.join(
             sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
                 "set_size", "size_a"
@@ -489,6 +585,7 @@ def simhash_verified_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return _finalize(out, sh)
 
 
 # ---------------------------------------------------------------------------

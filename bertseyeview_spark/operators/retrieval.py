@@ -6,10 +6,15 @@ text retrieval. BM25 (the published Robertson/Sparck-Jones ranking
 function, the default in Lucene/Elasticsearch) decomposes into exactly
 the relational pieces Catalyst is good at:
 
-    tf   — explode tokens, count per (doc, term)      [one shuffle]
-    df   — count distinct docs per term               [same pass]
+    tf   — explode QUERY-matching tokens only, count per (doc, term)
+    df   — count distinct docs per term               [same tiny pass]
     idf  — ln((N - df + 0.5)/(df + 0.5) + 1)          [scalar math]
     norm — doc length / corpus average length         [broadcast 1-row]
+
+The token array is built once per document; corpus stats (n_docs,
+avg_dl) come from its size without any explode, and the explode that
+feeds tf/df carries only tokens present in the query — so the corpus
+text is scanned twice but never exploded wholesale.
 
 so the whole scorer is two grouped aggregations plus broadcast scalars
 — no UDFs, no per-row Python, and the arithmetic is exactly
@@ -40,22 +45,34 @@ def bm25_search(
     build: one explode + grouped count, partial aggregation map-side.
     """
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    # per-doc token array once; dl = its size (no explode needed for
+    # corpus stats), and only QUERY-matching tokens survive into the
+    # explode — the full-corpus explode+regroup the naive formulation
+    # pays (every token shuffled once per query) never happens. At
+    # 100 TB the plan is: one column-pruned scan -> scalar agg for
+    # (n_docs, avg_dl), one scan -> tiny explode of matched terms.
+    base = docs.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
-    ).select("id", F.size("w").alias("dl"), F.explode("w").alias("term"))
+    ).select(
+        "id",
+        F.size("w").alias("dl"),
+        F.filter("w", lambda t: F.array_contains(term_arr, t)).alias("qw"),
+    )
 
-    # corpus scalars as broadcast 1-row relations (no collect)
-    stats = toks.groupBy("id").agg(F.first("dl").alias("dl"))
-    scalars = stats.agg(
+    # corpus scalars as a broadcast 1-row relation (no collect)
+    scalars = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
     )
 
-    qt = toks.where(F.col("term").isin(terms))
+    qt = base.select("id", "dl", F.explode("qw").alias("term"))
     tf = qt.groupBy("id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
-    df_ = qt.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    # document frequency falls out of tf (one row per (doc, term)) —
+    # no second tokenize pass over the corpus
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
 
     scored = (
         tf.join(F.broadcast(df_), "term")

@@ -308,11 +308,18 @@ def gopher_quality_flags(
 # ---------------------------------------------------------------------------
 
 # dialect-safe patterns: identical semantics under Java regex (Spark)
-# and RE2 (DuckDB) — no backrefs, no lookaround
+# and RE2 (DuckDB) — no backrefs, no lookaround. ORDER MATTERS: kinds
+# apply sequentially and earlier kinds consume their spans, so the
+# broader/more specific form must come before any pattern that could
+# match inside it (intl_phone before phone: the national part of
+# "+1-202-555-0199" is itself a valid plain phone).
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "intl_phone": r"\+\d{1,3}[- .]\d{3}[- .]\d{3}[- .]\d{4}",
     "phone": r"\d{3}[- .]\d{3}[- .]\d{4}",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b",
 }
 
 
@@ -325,8 +332,11 @@ def redact_pii(
     """Replace PII spans with [KIND] placeholders and count what was
     redacted — the standard pre-training hygiene pass, entirely
     codegen'd regexp_replace/extract (no UDFs). Patterns apply in dict
-    order (earlier kinds consume their spans first), so counts are
-    deterministic and the pipeline is one projection.
+    order and each kind's COUNT is taken on the text after every
+    earlier kind was redacted, so counts report exactly what the
+    replacement did — an overlapping span is attributed to precisely
+    one kind (the earliest), never double-counted. The whole pass is
+    one projection (nested regexp expressions, no UDF, no extra scan).
 
     Returns (id, text, n_<kind>... per pattern)."""
     patterns = patterns or PII_PATTERNS
@@ -334,18 +344,12 @@ def redact_pii(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
     counts = []
+    cur = F.col("text")
     for kind, pat in patterns.items():
         counts.append(
-            F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).alias(
+            F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))).alias(
                 f"n_{kind}"
             )
         )
-    out = out.select("id", "text", *counts)
-    red = F.col("text")
-    for kind, pat in patterns.items():
-        red = F.regexp_replace(red, pat, f"[{kind.upper()}]")
-    return out.select(
-        "id",
-        red.alias("text"),
-        *[F.col(f"n_{k}") for k in patterns],
-    )
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return out.select("id", cur.alias("text"), *counts)

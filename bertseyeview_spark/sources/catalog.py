@@ -41,7 +41,21 @@ def iceberg_available(spark: SparkSession) -> bool:
     return False
 
 
+class SnapshotConflictError(RuntimeError):
+    """Raised when a commit's base snapshot is no longer current —
+    the same optimistic-concurrency validation Iceberg performs before
+    swinging the table pointer (a concurrent writer won)."""
+
+
 class TableCatalog:
+    """Versioned, snapshot-isolated table store (Iceberg semantics on
+    parquet). Every commit writes an immutable version directory
+    ``<table>/v{N}`` and atomically swings a pointer file — readers
+    never observe partial data, old snapshots stay readable (time
+    travel), ``rollback`` swings the pointer back, and commits validate
+    their base version (optimistic concurrency) exactly as Iceberg's
+    snapshot commit protocol does."""
+
     def __init__(
         self, spark: SparkSession, warehouse_dir: str, format: str = "parquet"
     ) -> None:
@@ -58,16 +72,33 @@ class TableCatalog:
 
     # ------------- paths / snapshots -------------
 
-    def _path(self, name: str) -> str:
+    def _root(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    def _version_path(self, name: str, version: int) -> str:
+        return os.path.join(self._root(name), f"v{version}")
+
+    def _pointer_path(self, name: str) -> str:
+        return os.path.join(self._root(name), "_current")
 
     def _snap_path(self, name: str) -> str:
         return os.path.join(self.warehouse, f"_{name}_snapshots.jsonl")
 
-    def _log_snapshot(self, name: str, op: str, n_rows: int) -> None:
+    def current_version(self, name: str) -> int | None:
+        """The committed version the pointer references, or None."""
+        try:
+            with open(self._pointer_path(name)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _log_snapshot(self, name: str, op: str, n_rows: int, version: int) -> None:
         with open(self._snap_path(name), "a") as f:
             f.write(
-                json.dumps({"ts": time.time(), "op": op, "rows": n_rows}) + "\n"
+                json.dumps(
+                    {"ts": time.time(), "op": op, "rows": n_rows, "version": version}
+                )
+                + "\n"
             )
 
     def snapshots(self, name: str) -> list[dict]:
@@ -81,52 +112,157 @@ class TableCatalog:
         snaps = self.snapshots(name)
         return snaps[-1]["ts"] if snaps else None
 
+    # ------------- commit protocol -------------
+
+    def _commit(
+        self,
+        df: DataFrame,
+        name: str,
+        op: str,
+        partition_by: list[str] | None = None,
+        base_version: int | None = None,
+        check_base: bool = False,
+    ) -> int:
+        """Write an immutable version dir, validate the base snapshot,
+        atomically swing the pointer, log the snapshot. Returns the new
+        version number. ``check_base`` enables Iceberg-style optimistic
+        concurrency: the commit fails with SnapshotConflictError when
+        the table moved past ``base_version`` since the writer read it."""
+        os.makedirs(self._root(name), exist_ok=True)
+        cur = self.current_version(name)
+        new_version = (cur or 0) + 1
+        # find a free slot (an aborted writer may have left a dir)
+        while os.path.exists(self._version_path(name, new_version)):
+            new_version += 1
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._version_path(name, new_version))
+        # validate AFTER the (slow) data write, right before the
+        # pointer swing — the same ordering Iceberg uses: data files
+        # first, then the cheap atomic metadata commit with validation
+        if check_base and self.current_version(name) != base_version:
+            raise SnapshotConflictError(
+                f"table '{name}' moved from snapshot {base_version} to "
+                f"{self.current_version(name)} during the merge; retry "
+                "against the new base"
+            )
+        n_rows = self.spark.read.parquet(
+            self._version_path(name, new_version)
+        ).count()
+        tmp = self._pointer_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._pointer_path(name))  # the atomic commit
+        self._log_snapshot(name, op, n_rows, new_version)
+        return new_version
+
     # ------------- table ops -------------
 
     def write_table(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
     ) -> None:
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._path(name))
-        self._log_snapshot(name, "overwrite", self.read_table(name).count())
+        self._commit(df, name, "overwrite", partition_by=partition_by)
 
-    def read_table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(name))
+    def read_table(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current snapshot, or time-travel to ``version``."""
+        v = version if version is not None else self.current_version(name)
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot for table '{name}'")
+        return self.spark.read.parquet(self._version_path(name, v))
 
     def table_exists(self, name: str) -> bool:
-        return os.path.exists(self._path(name))
+        return self.current_version(name) is not None
+
+    def rollback(self, name: str, version: int) -> None:
+        """Swing the pointer back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``): a NEW snapshot entry referencing the
+        old version's data — history is append-only, nothing is
+        deleted."""
+        if not os.path.exists(self._version_path(name, version)):
+            raise FileNotFoundError(
+                f"table '{name}' has no snapshot version {version}"
+            )
+        tmp = self._pointer_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer_path(name))
+        n_rows = self.read_table(name).count()
+        self._log_snapshot(name, "rollback", n_rows, version)
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> int:
+        """Delete version directories older than the newest
+        ``keep_last`` distinct versions (Iceberg ``expire_snapshots``).
+        Never deletes the current version. Returns #dirs removed."""
+        import shutil
+
+        cur = self.current_version(name)
+        versions = sorted(
+            int(d[1:])
+            for d in os.listdir(self._root(name))
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        keep = set(versions[-keep_last:]) | ({cur} if cur is not None else set())
+        removed = 0
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(self._version_path(name, v))
+                removed += 1
+        return removed
 
     def merge_into(
-        self, incoming: DataFrame, name: str, keys: list[str]
+        self,
+        incoming: DataFrame,
+        name: str,
+        keys: list[str],
+        base_version: int | None = None,
     ) -> None:
         """Upsert-by-key (Iceberg MERGE INTO ... WHEN MATCHED THEN
         UPDATE WHEN NOT MATCHED THEN INSERT, with incoming winning).
-        Parquet emulation: keep existing rows whose key is absent from
-        incoming, union incoming, rewrite. Incoming must be key-unique
-        (enforced here with dropDuplicates on the keys)."""
+        Emulation: keep existing rows whose key is absent from
+        incoming, union incoming, commit as a new snapshot. Incoming
+        must be key-unique (enforced with dropDuplicates on the keys).
+
+        ``base_version`` pins the snapshot this merge was computed
+        against (defaults to the current one); if another writer
+        commits in between, the commit raises SnapshotConflictError
+        instead of silently clobbering the concurrent write — Iceberg's
+        optimistic-concurrency contract."""
         inc = incoming.dropDuplicates(keys)
-        if self.table_exists(name):
-            existing = self.read_table(name)
+        if base_version is None:
+            base_version = self.current_version(name)
+        if base_version is not None:
+            existing = self.read_table(name, version=base_version)
             kept = existing.join(inc.select(*keys).distinct(), keys, "anti")
             merged = kept.unionByName(inc)
         else:
             merged = inc
-        # write to a staging dir then swap — parquet has no atomic
-        # commit; Iceberg's snapshot commit replaces this dance
-        tmp = self._path(f"_{name}_staging")
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self._path(name)
-        back = self._path(f"_{name}_old")
-        if os.path.exists(back):
-            import shutil
+        self._commit(
+            merged, name, "merge", base_version=base_version, check_base=True
+        )
 
-            shutil.rmtree(back)
-        if os.path.exists(final):
-            os.rename(final, back)
-        os.rename(tmp, final)
-        self._log_snapshot(name, "merge", self.read_table(name).count())
+
+def _looks_like_table_dir(path: str) -> bool:
+    """True only when every entry in ``path`` is recognizable Spark
+    table output (part files, _SUCCESS, commit markers, or bucketed
+    subdirectories of the same) — the guard that keeps stale-location
+    cleanup from deleting an unrelated directory."""
+    ok_prefixes = ("part-", "_SUCCESS", "_committed", "_started", ".part-", "._SUCCESS")
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    if not entries:
+        return True
+    for e in entries:
+        if e.startswith(ok_prefixes):
+            continue
+        sub = os.path.join(path, e)
+        # partition subdirectories (col=value) of table output
+        if os.path.isdir(sub) and "=" in e and _looks_like_table_dir(sub):
+            continue
+        return False
+    return True
 
 
 class BucketedStore:
@@ -145,6 +281,22 @@ class BucketedStore:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
 
+    def _table_location(self, name: str) -> str | None:
+        """The metastore-reported filesystem location of ``name``, or
+        None when the catalog has no such table."""
+        try:
+            if not self.spark.catalog.tableExists(name):
+                return None
+            for row in self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {name}"
+            ).collect():
+                if (row.col_name or "").strip() == "Location":
+                    loc = (row.data_type or "").strip()
+                    return loc.removeprefix("file:") if loc else None
+        except Exception:  # noqa: BLE001
+            return None
+        return None
+
     def write_bucketed(
         self,
         df: DataFrame,
@@ -156,16 +308,28 @@ class BucketedStore:
         # a table dropped in a *previous* session's metastore leaves its
         # warehouse directory behind; saveAsTable then refuses the name.
         # Drop + clear the stale location so overwrite is truly idempotent.
+        # Deletion is catalog-driven, never guessed: if the metastore
+        # knows the table, delete exactly the location it reports (this
+        # also handles non-default databases and custom locations); if
+        # it does not, only clear the default-warehouse path and only
+        # when its contents look like Spark table output (part-*/
+        # _SUCCESS files) — never an arbitrary directory that happens
+        # to share the name.
+        loc = self._table_location(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         try:
-            warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
-            loc = os.path.join(
-                warehouse.removeprefix("file:"), name.lower()
-            )
-            if os.path.exists(loc):
-                import shutil
+            import shutil
 
-                shutil.rmtree(loc)
+            if loc is not None:
+                if os.path.isdir(loc):
+                    shutil.rmtree(loc)
+            else:
+                warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
+                stale = os.path.join(
+                    warehouse.removeprefix("file:"), name.lower()
+                )
+                if os.path.isdir(stale) and _looks_like_table_dir(stale):
+                    shutil.rmtree(stale)
         except Exception:  # noqa: BLE001 - best-effort cleanup
             pass
         writer = df.write.mode("overwrite").format("parquet")

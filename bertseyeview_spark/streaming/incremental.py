@@ -168,11 +168,15 @@ def _running_counts_fn(key, pdf_iter, state):
         total += len(pdf)
         total_value += float(pdf["value"].sum())
     state.update((total, total_value))
+    # emit the RAW running double: rounding belongs to the consumer,
+    # exactly once — per-update Python round() (banker's) composed with
+    # a downstream SQL round can diverge from round(sum(value), d) at
+    # half boundaries
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "total_events": [total],
-            "total_value": [round(total_value, 4)],
+            "total_value": [total_value],
         }
     )
 

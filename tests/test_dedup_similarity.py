@@ -164,7 +164,8 @@ def test_prefix_filter_output_identical(spark):
         plain = {
             tuple(r)
             for r in D.ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=2, threshold=thr
+                docs, "doc_id", "text", n=2, threshold=thr,
+                prefix_filter=False,
             ).collect()
         }
         pref = {
@@ -200,7 +201,8 @@ def test_prefix_filter_randomized_equality(spark):
         plain = {
             tuple(r)
             for r in D.ngram_jaccard_pairs(
-                docs, "doc_id", "text", n=2, threshold=thr
+                docs, "doc_id", "text", n=2, threshold=thr,
+                prefix_filter=False,
             ).collect()
         }
         pref = {
@@ -211,3 +213,107 @@ def test_prefix_filter_randomized_equality(spark):
             ).collect()
         }
         assert pref == plain, f"threshold {thr}"
+
+
+def test_prefix_filter_auto_cost_based(spark):
+    """prefix_filter="auto" probes the shingle-join candidate volume:
+    tiny corpora take the plain path (no row_number window in the plan)
+    and a low threshold forces the pruned path — outputs identical."""
+    import bertseyeview_spark.operators.dedup as D
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon eta"),
+        (2, "one two three four five six"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    auto_small = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+    }
+    forced_on = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5,
+            prefix_filter="auto", auto_prefix_candidates=0, auto_min_docs=0,
+        ).collect()
+    }
+    forced_off = {
+        tuple(r)
+        for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5,
+            prefix_filter=False,
+        ).collect()
+    }
+    assert auto_small == forced_on == forced_off
+    assert auto_small
+
+
+def test_dedup_releases_shingle_cache(spark):
+    """The persisted shingle table must be unpersisted once the result
+    is materialized — repeated dedup calls in one session may not
+    accumulate cached RDDs (ADVICE r2: storage-memory leak)."""
+    import bertseyeview_spark.operators.dedup as D
+
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} w{i + 3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    before = sc._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.5
+        ).collect()
+        D.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=2, num_perm=8, bands=4, threshold=0.5
+        ).collect()
+    after = sc._jsc.getPersistentRDDs().size()
+    # localCheckpoint blocks of the returned (tiny) results may linger
+    # until GC; the shingle caches themselves are released with
+    # blocking=True, so growth is bounded by the 6 checkpoints — not
+    # 6 checkpoints + 6 shingle caches
+    assert after - before <= 6
+
+
+def test_simhash_banding_pigeonhole(spark):
+    """Bands are derived from the hamming budget (bands = max_hamming
+    + 1): a signature pair whose differing bits land in EVERY 16-bit
+    quarter — invisible to the old fixed 4x16 banding beyond hamming 3
+    — must be found when max_hamming covers it."""
+    import bertseyeview_spark.operators.dedup as D
+
+    base = 0x0123456789ABCDEF
+    # flip one bit in each 16-bit quarter (bits 0, 16, 32, 48): the old
+    # 4-band scheme has NO identical band for this hamming-4 pair
+    other = base ^ ((1 << 0) | (1 << 16) | (1 << 32) | (1 << 48))
+
+    def to_signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = spark.createDataFrame(
+        [(0, to_signed(base)), (1, to_signed(other)), (2, to_signed(0x7777000011112222))],
+        "id long, simhash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_candidates_from_sigs(sigs, max_hamming=4).collect()
+    }
+    assert got.get((0, 1)) == 4
+    # and the guarantee generalizes: any <=10-bit spread is caught at
+    # max_hamming=10 (11 bands)
+    spread = base ^ sum(1 << (6 * k) for k in range(10))  # bits 0,6,...,54
+    sigs2 = spark.createDataFrame(
+        [(0, to_signed(base)), (1, to_signed(spread))],
+        "id long, simhash long",
+    )
+    got2 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_candidates_from_sigs(sigs2, max_hamming=10).collect()
+    }
+    assert got2.get((0, 1)) == 10
+    # old fixed-width behavior is preserved at the default budget:
+    # 4 bands of 16 bits
+    assert D._band_bounds(64, 4) == [(0, 16), (16, 16), (32, 16), (48, 16)]

@@ -103,3 +103,64 @@ def test_label_abundance_single_scan_of_mentions(spark, tmp_path):
     n_scans = plan.count("Scan parquet")
     assert n_scans == 1, f"mention set scanned {n_scans}x"
     assert out.count() > 0
+
+
+def test_search_topk_plan_quality(spark, sf_dir):
+    """The analytics search view must keep its 100x-scale plan shape:
+    the whitelist filter is evaluated inside the scan stage
+    (DataFilters on the FileScan — case-insensitive CONTAINS wraps the
+    column in lower(), which parquet cannot push as a PushedFilter, so
+    scan-stage fusion is the strongest available property), the scan
+    prunes to exactly the needed columns, and the top-k is a
+    TakeOrderedAndProject — never a global sort."""
+    import __spark_entry__ as E
+
+    df = E.queries()["search_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=25" in plan
+    assert "Sort " not in plan  # no global sort for a top-k
+    # the predicate runs inside the scan node, not a post-shuffle Filter
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scan_lines) == 1
+    assert "Contains(lower(c_name" in scan_lines[0]
+    # column pruning: only the 4 referenced columns are read
+    assert "ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double,c_mktsegment:string>" in scan_lines[0]
+    for unread in ("c_address", "c_phone", "c_comment", "c_nationkey"):
+        assert unread not in plan
+
+
+def test_node_properties_search_plan_pruning(spark, sf_dir):
+    """Every documents scan in the node-properties view must prune
+    columns: no scan may read the full row (the `lang` column is never
+    referenced and must appear in no ReadSchema)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["node_properties_search"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines
+    for line in scan_lines:
+        assert "lang" not in line, f"unpruned scan: {line[:200]}"
+
+
+def test_bm25_no_full_corpus_explode_plan(spark):
+    """BM25 must never explode the whole corpus token stream: every
+    Generate in the plan explodes the query-FILTERED array (qw), corpus
+    stats come from size(w) with no explode, and document frequency is
+    derived from the tf aggregate rather than a second tokenize pass.
+    (The printed tree may repeat the shared qw subtree once per
+    consumer branch — what matters is that no branch explodes w.)"""
+    from bertseyeview_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [(i, f"spark shuffle join w{i} w{i + 1}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    df = bm25_search(docs, "doc_id", "text", ["spark", "join"], top_n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_generate = plan.count("Generate explode")
+    n_filtered = plan.count("Generate explode(qw")
+    assert n_generate > 0 and n_generate == n_filtered, (
+        f"unfiltered corpus explode in plan: {n_generate} explodes, "
+        f"{n_filtered} over the filtered array"
+    )

@@ -208,3 +208,71 @@ def test_pii_redaction(spark):
     assert out[2]["n_ipv4"] == 2 and out[2]["text"].count("[IPV4]") == 2
     assert out[3]["text"] == "nothing sensitive here"
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_pii_redaction_extended_kinds(spark):
+    """SSN / international phone / IBAN patterns, plus the sequential
+    attribution rule: a span consumed by an earlier kind is counted for
+    that kind ONLY (the national part of an intl number is never also
+    counted as a plain phone)."""
+    from bertseyeview_spark.operators.textquality import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ssn 123-45-6789 on file"),
+            (2, "dial +1-202-555-0199 or 303-555-0144 today"),
+            (3, "wire to GB82WEST12345698765432 ref ok"),
+            (4, "no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in redact_pii(docs, "doc_id", "text").collect()}
+    assert out[1]["n_ssn"] == 1 and "[SSN]" in out[1]["text"]
+    assert out[1]["n_phone"] == 0  # ssn consumed first, not re-counted
+    # intl phone consumed whole; its national tail must NOT also count
+    # as a plain phone — only the standalone 303 number does
+    assert out[2]["n_intl_phone"] == 1
+    assert out[2]["n_phone"] == 1
+    assert "[INTL_PHONE]" in out[2]["text"] and "[PHONE]" in out[2]["text"]
+    assert "0199" not in out[2]["text"] and "0144" not in out[2]["text"]
+    assert out[3]["n_iban"] == 1 and "[IBAN]" in out[3]["text"]
+    assert all(
+        out[4][f"n_{k}"] == 0
+        for k in ("email", "ssn", "intl_phone", "phone", "ipv4", "iban")
+    )
+    assert out[4]["text"] == "no pii at all"
+
+
+def test_stateful_running_counts_single_rounding(spark, tmp_path):
+    """The state fn must emit the RAW running double (rounding happens
+    exactly once, at the consumer): per-update banker's rounding
+    composed with SQL rounding diverges at half boundaries."""
+    import datetime as dt
+
+    from bertseyeview_spark.streaming import incremental as S
+
+    # values summing to a half-boundary at the 4th decimal:
+    # 0.00005 + 0.1 = 0.10005 -> round(_, 4) sensitivity point
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0), 5, "click", 0.00005, None),
+        (2, dt.datetime(2024, 1, 1, 0, 1), 5, "view", 0.1, None),
+    ]
+    src = str(tmp_path / "ev_raw")
+    spark.createDataFrame(rows, S.EVENTS_SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(S.EVENTS_SCHEMA).parquet(src)
+    q = (
+        S.stateful_running_counts(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("raw_state_out")
+        .option("checkpointLocation", str(tmp_path / "ck_raw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = max(
+        spark.sql("SELECT * FROM raw_state_out").collect(),
+        key=lambda r: r["total_events"],
+    )
+    # raw IEEE double of the sum — NOT pre-rounded to 0.1 or 0.1001
+    assert final["total_value"] == 0.00005 + 0.1
