@@ -31,9 +31,13 @@ from bertseyeview_spark.functions.bioc import parse_bioc_column  # noqa: E402
 from bertseyeview_spark.operators.asof import asof_join  # noqa: E402
 from bertseyeview_spark.operators import enrichment as EN  # noqa: E402
 from bertseyeview_spark.operators.canonicalize import connected_components  # noqa: E402
-from bertseyeview_spark.operators.graph import node_label_expr  # noqa: E402
+from bertseyeview_spark.operators.graph import (  # noqa: E402
+    k_core,
+    node_label_expr,
+    node_similarity,
+)
 from bertseyeview_spark.operators.node2vec import generate_walks  # noqa: E402
-from bertseyeview_spark.operators.rank import article_rank  # noqa: E402
+from bertseyeview_spark.operators.rank import article_rank, hits_scores  # noqa: E402
 from bertseyeview_spark.operators.citations import compose_citation_rows  # noqa: E402
 from bertseyeview_spark.functions.codecs import epubdate_iso_udf  # noqa: E402
 from bertseyeview_spark.plans.kg import documents_as_pages  # noqa: E402
@@ -941,6 +945,90 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _two_formula_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A synthetic citation graph with VARIED in-degrees (unlike the
+    near-permutation `_customer_citing` map): every customer emits two
+    edges under different moduli, so targets collect 0-5 incoming edges
+    and hub/authority/core structure is non-trivial."""
+    c = _t(spark, sf_dir, "customer")
+    e1 = c.select(
+        F.col("c_custkey").alias("src"),
+        F.pmod(F.col("c_custkey") * 7919 + 13, F.lit(700)).alias("dst"),
+    )
+    e2 = c.select(
+        F.col("c_custkey").alias("src"),
+        F.pmod(F.col("c_custkey") * 104729 + 7, F.lit(1100)).alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hits_scores(_two_formula_graph(spark, sf_dir), iterations=5)
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_core(_two_formula_graph(spark, sf_dir), k=3, iterations=6)
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entities = brands, neighbors = the orders that "mention" them —
+    # the gds.nodeSimilarity shape over the mention bipartite graph
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    edges = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        F.col("p_brand").alias("src"), F.col("l_orderkey").alias("dst")
+    )
+    return node_similarity(edges, threshold=0.05)
+
+
+def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(37)).cast("string"),
+            F.lit(".example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    return TQ.host_profile(d, "url", "text", "n_chars")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iceberg changelog read: commit nation as v1, a mutated v2
+    # (deletes where key%5=0, comment rewrites where key%3=0, five
+    # inserted keys 100-104), then diff the snapshots
+    import tempfile
+
+    from bertseyeview_spark.sources.catalog import TableCatalog
+
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey")
+    cat = TableCatalog(spark, tempfile.mkdtemp(prefix="snapdiff_wh_"))
+    cat.write_table(n, "nation_t")
+    cols = n.columns
+    mutated = n.where(key % 5 != 0).withColumn(
+        "n_name",
+        F.when(
+            key % 3 == 0, F.concat(F.col("n_name"), F.lit(" [rev2]"))
+        ).otherwise(F.col("n_name")),
+    ).select(*cols)
+    inserted = n.where(key < 5).select(
+        *[
+            (key + 100).alias("n_nationkey")
+            if c == "n_nationkey"
+            else (
+                F.lit("inserted").alias("n_name")
+                if c == "n_name"
+                else F.col(c)
+            )
+            for c in cols
+        ]
+    )
+    cat.write_table(mutated.unionByName(inserted), "nation_t")
+    return cat.snapshot_diff("nation_t", 1, 2, keys=["n_nationkey"])
+
+
 # ---------------------------------------------------------------------------
 # classic OLAP shapes (generic analytics capability; TPC-H Q1/Q3-like)
 # ---------------------------------------------------------------------------
@@ -1251,6 +1339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "triangle_counts": q_triangle_counts,
         "pii_redaction": q_pii_redaction,
+        "hits_scores": q_hits_scores,
+        "k_core": q_k_core,
+        "node_similarity": q_node_similarity,
+        "host_profile": q_host_profile,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -1331,6 +1424,72 @@ r{i} AS (
         )
     pr.append(f"\nSELECT id, round(rank, 6) AS rank FROM r{iters}")
     pagerank_sql = "".join(pr)
+
+    # ---- hits_scores: rank.hits_scores unrolled to 5 fixed
+    # iterations (auth from prior hubs, hubs from the UPDATED auths),
+    # one L1 normalization at the end — same float discipline as the
+    # pagerank oracle (identical doubles, round(6) once)
+    two_formula_edges = """
+SELECT DISTINCT src, dst FROM (
+  SELECT c_custkey AS src, (c_custkey * 7919 + 13) % 700 AS dst
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, (c_custkey * 104729 + 7) % 1100 FROM customer)"""
+    hits_iters = 5
+    ht = [
+        f"""
+WITH e AS ({two_formula_edges}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM v)"""
+    ]
+    for i in range(1, hits_iters + 1):
+        ht.append(
+            f""",
+a{i} AS (
+  SELECT v.id, coalesce(s.x, 0.0) AS auth FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(h.hub) AS x
+    FROM h{i - 1} h JOIN e ON h.id = e.src GROUP BY e.dst) s
+  ON v.id = s.id),
+h{i} AS (
+  SELECT v.id, coalesce(s.x, 0.0) AS hub FROM v LEFT JOIN (
+    SELECT e.src AS id, sum(a.auth) AS x
+    FROM a{i} a JOIN e ON a.id = e.dst GROUP BY e.src) s
+  ON v.id = s.id)"""
+        )
+    ht.append(
+        f"""
+SELECT id,
+  round(auth / (SELECT sum(auth) FROM a{hits_iters}), 6) AS auth,
+  round(hub / (SELECT sum(hub) FROM h{hits_iters}), 6) AS hub
+FROM a{hits_iters} JOIN h{hits_iters} USING (id)"""
+    )
+    hits_sql = "".join(ht)
+
+    # ---- k_core: graph.k_core unrolled to 6 fixed peeling rounds
+    # over the symmetrized simple graph, k=3
+    kc_k, kc_iters = 3, 6
+    kc = [
+        f"""
+WITH eb AS ({two_formula_edges}),
+e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM eb UNION ALL SELECT dst, src FROM eb)
+  WHERE src <> dst)"""
+    ]
+    for i in range(1, kc_iters + 1):
+        kc.append(
+            f""",
+k{i} AS (SELECT src FROM e{i - 1} GROUP BY src
+         HAVING count(*) >= {kc_k}),
+e{i} AS (SELECT e.src, e.dst FROM e{i - 1} e
+         JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"""
+        )
+    kc.append(
+        f"""
+SELECT src AS id, count(*) AS core_degree FROM e{kc_iters}
+GROUP BY src HAVING count(*) >= {kc_k}"""
+    )
+    kcore_sql = "".join(kc)
 
     # ---- random_walks: replay generate_walks(portable_hash=True) —
     # md5-derived neighbor choice over sorted adjacency, 7 unrolled steps
@@ -2183,5 +2342,39 @@ SELECT * FROM (VALUES
   ('42', 'Alpha', 'Gene', '6647', 0, 5),
   ('42', 'riluzole', 'Chemical', 'MESH:D000069337', 24, 8)
 ) AS t(doc_id, surface, concept, norm_id, "offset", length)
+""",
+        "hits_scores": hits_sql,
+        "k_core": kcore_sql,
+        "node_similarity": """
+WITH adj AS (
+  SELECT DISTINCT p_brand AS src, l_orderkey AS dst
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+common AS (
+  SELECT a.src AS id_a, b.src AS id_b, count(*) AS c
+  FROM adj a JOIN adj b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(c * 1.0 / (da.deg + db.deg - c), 6) AS similarity
+FROM common JOIN deg da ON id_a = da.src JOIN deg db ON id_b = db.src
+WHERE c * 1.0 / (da.deg + db.deg - c) >= 0.05
+""",
+        "host_profile": """
+SELECT 'h' || (doc_id % 37)::VARCHAR || '.example.org' AS host,
+  count(*) AS n_docs,
+  count(*) - count(DISTINCT md5(text)) AS n_exact_dupes,
+  sum(n_chars)::DOUBLE / count(*) AS avg_chars
+FROM documents GROUP BY 1
+""",
+        "snapshot_diff": """
+SELECT n_nationkey, 'delete' AS change_type
+FROM nation WHERE n_nationkey % 5 = 0
+UNION ALL
+SELECT n_nationkey, 'update'
+FROM nation WHERE n_nationkey % 5 <> 0 AND n_nationkey % 3 = 0
+UNION ALL
+SELECT n_nationkey + 100, 'insert' FROM nation WHERE n_nationkey < 5
 """,
     }

@@ -161,6 +161,120 @@ def project_subgraph(edges: DataFrame, rels: list[str], undirected: bool = False
     return symmetrize(sub) if undirected else sub
 
 
+def node_similarity(
+    edges: DataFrame,
+    threshold: float = 0.2,
+    max_dst_freq: int | None = 1000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Neighborhood Jaccard between source nodes — the reference's
+    ``gds.nodeSimilarity`` surface (the GDS family invoked from
+    shared/helper/neo4j_helper.py:2154-2186) re-expressed as a
+    set-similarity self-join: two entities are similar when their
+    out-neighbor sets (e.g. the articles that mention them) overlap.
+
+    Returns (id_a < id_b, similarity) with Jaccard >= threshold.
+
+    Same candidate-generation shape as the n-gram dedup join (the
+    neighbor id plays the shingle role): adjacency equi-join on the
+    shared neighbor, grouped intersection counts, exact Jaccard
+    verification — never all-pairs. ``max_dst_freq`` is the skew guard:
+    a neighbor shared by f sources yields f^2 candidate rows, so
+    mega-hub neighbors (stopword-like pages at web scale) are excluded
+    from the JOIN while still counting toward set sizes (similarity
+    only under-estimates for hub-dominated pairs — the desired bias).
+    Never silent: dropped-hub count prints when non-zero."""
+    # self-loop filter compares as strings: bipartite callers carry
+    # different src/dst types and an ANSI-mode numeric cast of a
+    # non-numeric id would throw
+    adj = edges.select("src", "dst").where(
+        F.col("src").cast("string") != F.col("dst").cast("string")
+    ).dropDuplicates()
+    sizes = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    joinable = adj
+    if max_dst_freq is not None:
+        freq = adj.groupBy("dst").agg(F.count("*").alias("f"))
+        if log_dropped:
+            n_dropped = freq.where(F.col("f") > max_dst_freq).count()
+            if n_dropped:
+                print(
+                    f"[node_similarity] excluded {n_dropped} hub neighbors "
+                    f"with in-degree > {max_dst_freq} from the pair join"
+                )
+        joinable = adj.join(
+            freq.where(F.col("f") <= max_dst_freq).select("dst"),
+            "dst",
+            "semi",
+        )
+    a = joinable.select(F.col("src").alias("id_a"), "dst")
+    b = joinable.select(F.col("src").alias("id_b"), "dst")
+    common = (
+        a.join(b, "dst")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("src").alias("id_a"), F.col("deg").alias("deg_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("id_b"), F.col("deg").alias("deg_b")),
+            "id_b",
+        )
+        .withColumn(
+            "similarity",
+            F.col("common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common")),
+        )
+        .where(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+def k_core(edges: DataFrame, k: int = 2, iterations: int = 6) -> DataFrame:
+    """Nodes surviving ``iterations`` rounds of k-core peeling over the
+    undirected simple graph, with their degree inside the core —
+    (id, core_degree). GDS-family companion (``gds.kcore``-shaped) to
+    :func:`triangle_counts`: each round drops every node whose current
+    degree is < k, then recomputes degrees over the induced subgraph.
+
+    FIXED iteration count, not a convergence test — deterministic
+    across parallelism levels and replayable by an unrolled SQL oracle
+    (peeling converges geometrically; 6 rounds suffice for the corpora
+    here, and callers can raise it). Each round is one grouped degree
+    count plus two semi-joins; localCheckpoint every other round keeps
+    the lineage flat so the plan never grows superlinearly."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    cur = und.localCheckpoint(eager=False)
+    for it in range(iterations):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = cur.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+        if it % 2 == 1 or it == iterations - 1:
+            cur = cur.localCheckpoint(eager=False)
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .where(F.col("core_degree") >= k)
+        .select(F.col("src").alias("id"), "core_degree")
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph —
     (id, n_triangles). The standard distributed formulation: orient

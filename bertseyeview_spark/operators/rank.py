@@ -101,6 +101,75 @@ def article_rank(
     return ranks
 
 
+def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """HITS hubs & authorities over directed edges(src, dst) ->
+    (id, auth, hub), L1-normalized once after a FIXED iteration count.
+
+    Complements :func:`article_rank` the way the reference's graph-
+    algorithm surface does (gds.* invocations in
+    shared/helper/neo4j_helper.py:2154-2186 — ArticleRank is the one
+    wired up; HITS is the standard companion for citation graphs).
+
+    Scale/determinism notes (same discipline as article_rank):
+    * two shuffles per iteration (groupBy dst for auth, groupBy src for
+      hub), both map-side combined;
+    * fixed iterations, not a convergence threshold — local[8] ==
+      local[32];
+    * normalization deferred to ONE final pass (the per-iteration
+      normalization of textbook HITS only rescales — at a fixed
+      iteration count the normalized result is identical, and skipping
+      it saves 2 global aggregates per iteration); the final L1 scalars
+      join in as broadcast 1-row relations, no collect;
+    * localCheckpoint every other iteration keeps lineage flat.
+    """
+    e = edges.select("src", "dst").dropDuplicates().persist()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .persist()
+    )
+    hubs = vertices.select("id", F.lit(1.0).alias("hub")).localCheckpoint()
+    auths = vertices.select("id", F.lit(1.0).alias("auth"))
+    for it in range(iterations):
+        auth_in = (
+            hubs.join(e, hubs["id"] == e["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("x"))
+        )
+        auths = vertices.join(auth_in, "id", "left").select(
+            "id", F.coalesce("x", F.lit(0.0)).alias("auth")
+        )
+        hub_in = (
+            auths.join(e, auths["id"] == e["dst"])
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("x"))
+        )
+        hubs = vertices.join(hub_in, "id", "left").select(
+            "id", F.coalesce("x", F.lit(0.0)).alias("hub")
+        )
+        if it % 2 == 1 or it == iterations - 1:
+            auths = auths.localCheckpoint()
+            hubs = hubs.localCheckpoint()
+    a_sum = auths.agg(F.sum("auth").alias("a_sum"))
+    h_sum = hubs.agg(F.sum("hub").alias("h_sum"))
+    out = (
+        auths.join(hubs, "id")
+        .crossJoin(F.broadcast(a_sum))
+        .crossJoin(F.broadcast(h_sum))
+        .select(
+            "id",
+            F.round(F.col("auth") / F.col("a_sum"), 6).alias("auth"),
+            F.round(F.col("hub") / F.col("h_sum"), 6).alias("hub"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist(blocking=True)
+    vertices.unpersist(blocking=True)
+    return out
+
+
 def attach_rank(nodes: DataFrame, ranks: DataFrame) -> DataFrame:
     """nodes(id, label) + ranks(id, rank) -> nodes with a rank column
     (reference writes article_rank as a node property,

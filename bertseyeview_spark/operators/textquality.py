@@ -304,6 +304,44 @@ def gopher_quality_flags(
 
 
 # ---------------------------------------------------------------------------
+# host-level corpus profiling (web-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+def host_profile(
+    df: DataFrame, url_col: str, text_col: str, chars_col: str
+) -> DataFrame:
+    """Per-host corpus profile over Common-Crawl-style pages: document
+    count, exact-duplicate count (docs minus distinct content digests —
+    boilerplate farms and mirror hosts light up here, the standard
+    first cut when deciding which hosts to down-sample), and mean page
+    length. Host extraction is one dialect-safe regex (no parse_url —
+    identical semantics in an ANSI oracle); digests group by md5 so the
+    shuffle carries 32-byte keys, never page text. One grouped
+    aggregation; at web scale this is a single map-side-combined pass."""
+    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    return (
+        df.select(
+            host.alias("host"),
+            F.md5(F.col(text_col)).alias("_digest"),
+            F.col(chars_col).alias("_chars"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.count_distinct(F.col("_digest"))).alias(
+                "n_exact_dupes"
+            ),
+            # raw IEEE double, not rounded: int-sum / int-count divides
+            # bit-identically in any engine, while round() at a half
+            # boundary does not (the usual cross-engine float trap)
+            (F.sum("_chars").cast("double") / F.count("*")).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction (training-data hygiene)
 # ---------------------------------------------------------------------------
 

@@ -161,3 +161,27 @@ def test_bucketed_store_idempotent_rewrite(spark):
     got = {r["k"] for r in store.read("bkt_rewrite_t").collect()}
     assert got == {2, 3}
     spark.sql("DROP TABLE IF EXISTS bkt_rewrite_t")
+
+
+def test_snapshot_diff_changelog(spark, tmp_path):
+    """Incremental/changelog read between two snapshots (Iceberg
+    changelog parity): inserts, deletes, payload updates — including
+    NULL-payload rows, which a non-null-safe compare would miss."""
+    cat = TableCatalog(spark, str(tmp_path / "wh6"))
+    v1_df = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, None), ("c", 3, "z"), ("d", 4, None)],
+        ["id", "v", "tag"],
+    )
+    cat.write_table(v1_df, "t")
+    v2_df = spark.createDataFrame(
+        # a unchanged; b NULL->NULL with v bumped (update must fire);
+        # c deleted; d unchanged incl. NULL tag; e inserted
+        [("a", 1, "x"), ("b", 20, None), ("d", 4, None), ("e", 5, "w")],
+        ["id", "v", "tag"],
+    )
+    cat.write_table(v2_df, "t")
+    got = {
+        r["id"]: r["change_type"]
+        for r in cat.snapshot_diff("t", 1, 2, keys=["id"]).collect()
+    }
+    assert got == {"b": "update", "c": "delete", "e": "insert"}

@@ -1,0 +1,130 @@
+"""HITS hubs/authorities vs a pure-python oracle; k-core peeling on
+crafted graphs; neighborhood-Jaccard node similarity (the GDS-family
+surface, shared/helper/neo4j_helper.py:2154-2186 analogues)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.operators.graph import k_core, node_similarity
+from bertseyeview_spark.operators.rank import hits_scores
+
+
+def _py_hits(edges, iterations=5):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        auth = {n: 0.0 for n in nodes}
+        for a, b in edges:
+            auth[b] += hub[a]
+        hub = {n: 0.0 for n in nodes}
+        for a, b in edges:
+            hub[a] += auth[b]
+    a_sum = sum(auth.values()) or 1.0
+    h_sum = sum(hub.values()) or 1.0
+    return (
+        {n: auth[n] / a_sum for n in nodes},
+        {n: hub[n] / h_sum for n in nodes},
+    )
+
+
+def test_hits_vs_python(spark):
+    edges = [
+        ("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"), ("b", "z"),
+        ("c", "y"), ("d", "z"), ("x", "a"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = hits_scores(df, iterations=5).collect()
+    want_auth, want_hub = _py_hits(edges, iterations=5)
+    got_auth = {r["id"]: r["auth"] for r in rows}
+    got_hub = {r["id"]: r["hub"] for r in rows}
+    assert set(got_auth) == set(want_auth)
+    for n in want_auth:
+        assert got_auth[n] == pytest.approx(want_auth[n], abs=1e-6), n
+        assert got_hub[n] == pytest.approx(want_hub[n], abs=1e-6), n
+    # b links to every authority -> best hub; y is cited most -> best auth
+    assert max(got_hub, key=got_hub.get) == "b"
+    assert max(got_auth, key=got_auth.get) == "y"
+
+
+def test_hits_deterministic_across_parallelism(spark):
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 20}") for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = sorted(map(tuple, hits_scores(df, iterations=4).collect()))
+    b = sorted(
+        map(tuple, hits_scores(df.repartition(1), iterations=4).collect())
+    )
+    assert a == b
+
+
+def _py_k_core(edges, k, iterations):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    cur = set(und)
+    for _ in range(iterations):
+        deg = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    deg = {}
+    for a, _ in cur:
+        deg[a] = deg.get(a, 0) + 1
+    return {n: d for n, d in deg.items() if d >= k}
+
+
+def test_k_core_peels_tendrils(spark):
+    # K4 core with a pendant chain hung off it: the chain must peel
+    # away at k=2, the K4 survives with degree 3
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f"), ("f", "g")]
+    df = spark.createDataFrame(k4 + chain, ["src", "dst"])
+    got = {r["id"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert got == _py_k_core(k4 + chain, 2, 6)
+
+
+def test_k_core_matches_python_on_random_graph(spark):
+    edges = [(f"n{(i * 13) % 30}", f"n{(i * 7 + 5) % 30}") for i in range(60)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (2, 3):
+        got = {r["id"]: r["core_degree"] for r in k_core(df, k=k).collect()}
+        assert got == _py_k_core(edges, k, 6), k
+
+
+def test_node_similarity_jaccard(spark):
+    # e1 and e2 share 2 of 3 neighbors (J = 2/4); e3 disjoint
+    edges = [
+        ("e1", "p1"), ("e1", "p2"), ("e1", "p3"),
+        ("e2", "p2"), ("e2", "p3"), ("e2", "p4"),
+        ("e3", "p9"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = node_similarity(df, threshold=0.1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == ("e1", "e2")
+    assert r["similarity"] == pytest.approx(0.5)
+
+
+def test_node_similarity_hub_cap_excludes_but_counts(spark, capsys):
+    # p_hub is shared by all three entities; with the hub capped out of
+    # the join, e1/e2 still pair via p2 but similarity counts the hub
+    # in the set sizes (underestimate, never overestimate)
+    edges = [
+        ("e1", "p_hub"), ("e2", "p_hub"), ("e3", "p_hub"),
+        ("e1", "p2"), ("e2", "p2"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    rows = node_similarity(df, threshold=0.0, max_dst_freq=2).collect()
+    out = capsys.readouterr().out
+    assert "excluded 1 hub neighbors" in out
+    got = {(r["id_a"], r["id_b"]): r["similarity"] for r in rows}
+    # only the p2 pair survives candidate generation; J = 1/(2+2-1)
+    assert got == {("e1", "e2"): pytest.approx(1 / 3)}
+    # uncapped ground truth for comparison: hub pairs appear too
+    full = node_similarity(df, threshold=0.0, max_dst_freq=None).collect()
+    assert len(full) == 3

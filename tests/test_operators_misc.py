@@ -276,3 +276,21 @@ def test_stateful_running_counts_single_rounding(spark, tmp_path):
     )
     # raw IEEE double of the sum — NOT pre-rounded to 0.1 or 0.1001
     assert final["total_value"] == 0.00005 + 0.1
+
+
+def test_host_profile(spark):
+    from bertseyeview_spark.operators.textquality import host_profile
+
+    rows = [
+        ("https://a.com/1", "same text", 9),
+        ("https://a.com/2", "same text", 9),
+        ("https://a.com/3", "other", 5),
+        ("https://b.org/x", "unique", 6),
+    ]
+    df = spark.createDataFrame(rows, ["url", "text", "n_chars"])
+    got = {
+        r["host"]: (r["n_docs"], r["n_exact_dupes"], r["avg_chars"])
+        for r in host_profile(df, "url", "text", "n_chars").collect()
+    }
+    assert got["a.com"] == (3, 1, (9 + 9 + 5) / 3)
+    assert got["b.org"] == (1, 0, 6.0)

@@ -118,28 +118,47 @@ def main() -> int:
     os.makedirs(WORKDIR, exist_ok=True)
     corpus_path = prepare_corpus(pages)
 
-    best = {}
-    for n in (2, 8):
-        for _ in range(reps):
+    import statistics
+
+    best: dict = {}
+    all_runs: dict[int, list[dict]] = {2: [], 8: []}
+    # interleave the two levels (2,8,2,8,...) so slow host-load drift
+    # hits both levels symmetrically instead of biasing one
+    for _ in range(reps):
+        for n in (2, 8):
             r = run_config(corpus_path, n, ner_layers)
             r["throughput"] = r["pages"] / r["wall"]
+            all_runs[n].append(r)
             if n not in best or r["throughput"] > best[n]["throughput"]:
                 best[n] = r
-            print(json.dumps(r))
-    eff = best[8]["throughput"] / (4 * best[2]["throughput"])
-    identical = (
-        best[2]["triples"] == best[8]["triples"]
-        and best[2]["hash_sum"] == best[8]["hash_sum"]
-    )
+            print(json.dumps(r), flush=True)
+    med = {
+        n: statistics.median(r["throughput"] for r in all_runs[n])
+        for n in (2, 8)
+    }
+    eff_median = med[8] / (4 * med[2])
+    eff_best = best[8]["throughput"] / (4 * best[2]["throughput"])
+    # output identity must hold across EVERY rep at both levels
+    hashes = {
+        (r["triples"], r["hash_sum"]) for rs in all_runs.values() for r in rs
+    }
+    identical = len(hashes) == 1
     summary = {
         "generated": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "pages": pages,
         "ner_layers": ner_layers,
+        "reps_per_level": reps,
+        "throughputs": {
+            str(n): [round(r["throughput"], 1) for r in all_runs[n]]
+            for n in (2, 8)
+        },
+        "median_throughput": {str(n): round(med[n], 1) for n in (2, 8)},
         "best": {str(k): v for k, v in best.items()},
-        "efficiency_2_to_8_workers": round(eff, 3),
-        "output_identical": identical,
+        "efficiency_2_to_8_workers_median": round(eff_median, 3),
+        "efficiency_2_to_8_workers_best": round(eff_best, 3),
+        "output_identical_all_reps": identical,
     }
-    print(json.dumps(summary))
+    print(json.dumps(summary), flush=True)
     with open(os.path.join(WORKDIR, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return 0
