@@ -402,10 +402,12 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash candidates (hamming banding, engine-side crc32 bits) +
     exact n-gram-Jaccard verify. The hamming budget (10) saturates
-    recall at this SF (every true Jaccard>=0.8 pair is a candidate —
-    measured), so the output equals the exact-SQL Jaccard join and the
-    oracle grades it without replaying the signature bits; raw-signature
-    parity vs a pure-python simhash is pinned in pytest."""
+    recall at the driver's gate SF (sf0.01: every true Jaccard>=0.8
+    pair is a candidate — measured), so the output equals the exact-SQL
+    Jaccard join and the oracle grades it without replaying the
+    signature bits; raw-signature parity vs a pure-python simhash is
+    pinned in pytest. (At sf0.1 the saturating budget is 14 — see
+    simhash_verified_pairs for the corpus-dependence caveat.)"""
     return D.simhash_verified_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",

@@ -67,8 +67,12 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def word_ngrams(text_col, n: int):
-    """Array of word n-grams, JVM-side: split -> transform over an index
-    sequence -> slice+join. Empty array when fewer than n tokens."""
+    """Array of word n-grams via a higher-order ``transform`` lambda.
+
+    NOTE: kept for array-shaped callers/tests, but HOF lambdas are NOT
+    whole-stage-codegen'd — Catalyst evaluates them interpreted, which
+    measured ~6x slower than the exploded formulation in
+    :func:`shingle_table`. Don't use this on the hot path."""
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     count = F.size(toks) - F.lit(n - 1)
     return F.when(
@@ -81,14 +85,35 @@ def word_ngrams(text_col, n: int):
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) rows, distinct per doc (set semantics)."""
+    """(id, shingle) rows, distinct per doc (set semantics).
+
+    Formulated without higher-order-function lambdas so the whole
+    shingling stays inside WholeStageCodegen: zip n shifted slices of
+    the token array, explode, concat — measured ~6x faster than the
+    ``transform``-lambda version (HOF lambdas run interpreted), which
+    matters because shingling is the dominant scan at corpus scale.
+    Per-doc set semantics come from one (id, shingle) dedup whose
+    map-side combine removes most duplicates before the exchange."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.size("_t") - F.lit(n - 1)
     return (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
-                "shingle"
-            ),
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(
+                    *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
+                )
+            ).alias("_z"),
         )
+        .select(
+            "id",
+            F.concat_ws(
+                " ", *[F.col("_z")[str(k)] for k in range(n)]
+            ).alias("shingle"),
+        )
+        .dropDuplicates(["id", "shingle"])
     )
 
 
@@ -470,12 +495,18 @@ def simhash_candidates_from_sigs(
     The band count is DERIVED from the hamming budget: with
     ``bands = max_hamming + 1`` (the default), any two signatures
     differing in <= max_hamming bits must agree on at least one whole
-    band (pigeonhole), so recall over the hamming budget is guaranteed
-    — not empirical — at every budget, not just the classic 3-bits/4-
-    bands point. The cost of a larger budget is narrower bands (64 //
-    bands bits) and therefore denser buckets; that trade is inherent to
-    SimHash, and callers at web scale should keep max_hamming small
-    (3-4) where bands stay 13-16 bits wide."""
+    band (pigeonhole), so candidate recall over the hamming budget is
+    guaranteed — not empirical — at every budget.
+
+    Cost model (measured, not hoped): the *verification* work is
+    proportional to the number of pairs within the hamming budget —
+    banding only avoids enumerating pairs OUTSIDE it. On low-entropy
+    corpora (tiny vocabularies, boilerplate) signature mass
+    concentrates and the within-budget pair count itself grows toward
+    quadratic; no banding scheme fixes that (a band-PAIR probing
+    variant was measured 3x WORSE there — it re-finds each degenerate
+    pair C(b,2)/b times). Keep ``max_hamming`` small at scale; that is
+    the knob that bounds work."""
     if bands is None:
         bands = max_hamming + 1
     if bands > 64:
@@ -498,8 +529,12 @@ def simhash_candidates_from_sigs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bucket")
-    l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket")
-    r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket")
+    l = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sig_a"), "band", "bucket"
+    )
+    r = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket"
+    )
     return (
         l.join(r, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -543,14 +578,16 @@ def simhash_verified_pairs(
 
     This is the production dedup shape — cheap bitwise candidate
     generation, exact verification only on the pruned set. Candidate
-    recall over the hamming budget is now GUARANTEED (bands =
+    recall over the hamming budget is GUARANTEED (bands =
     max_hamming + 1, pigeonhole — see simhash_candidates_from_sigs),
     so the only remaining approximation is SimHash itself: whether
     hamming <= max_hamming captures every true Jaccard >= t pair is
-    corpus-dependent (measured 100% at the test SFs; raise max_hamming
-    for adversarial corpora — bands scale with it automatically). When
-    that holds, the output equals the exact-SQL Jaccard join, so an
-    ANSI oracle can grade it without replaying crc32."""
+    corpus-dependent. Measured on the synthetic docs corpus: budget 10
+    captures 100% at sf0.01 (the driver gate), while sf0.1 needs 14
+    (2 of 256 true pairs sit at hamming 11-14 — tiny-vocabulary text
+    compresses signature variance, the known SimHash failure mode).
+    When the budget saturates, the output equals the exact-SQL Jaccard
+    join, so an ANSI oracle grades it without replaying crc32."""
     cands = simhash_pairs(df, id_col, text_col, max_hamming).select(
         "id_a", "id_b"
     )
