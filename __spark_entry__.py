@@ -996,6 +996,43 @@ def q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TQ.host_profile(d, "url", "text", "n_chars")
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bertseyeview_spark.operators.rank import personalized_pagerank
+
+    sources = spark.range(1, 6).select(F.col("id").cast("long").alias("id"))
+    ranks = personalized_pagerank(
+        _two_formula_graph(spark, sf_dir), sources, iterations=10
+    )
+    # round(9): PPR mass is ~1e-4 per node, so 9 decimals keep real
+    # precision while absorbing sub-1e-12 cross-engine sum-order noise
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # messy url variants (case, default port, tracking params, param
+    # order, fragments, trailing slash) synthesized per doc; canonical
+    # grouping must merge each variant family to one key
+    from bertseyeview_spark.functions.urls import canonical_url
+
+    k = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (k % 7).cast("string"),
+        F.lit(".COM:80/p/"),
+        (k % 40).cast("string"),
+        F.when(k % 4 == 0, F.lit("/?utm_source=x&b=2&a=1"))
+        .when(k % 4 == 1, F.lit("?a=1&b=2"))
+        .when(k % 4 == 2, F.lit("#frag"))
+        .otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(canonical_url(messy).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg changelog read: commit nation as v1, a mutated v2
     # (deletes where key%5=0, comment rewrites where key%3=0, five
@@ -1346,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_similarity": q_node_similarity,
         "host_profile": q_host_profile,
         "snapshot_diff": q_snapshot_diff,
+        "personalized_pagerank": q_personalized_pagerank,
+        "url_canonical_dedup": q_url_canonical_dedup,
     }
 
 
@@ -1492,6 +1531,34 @@ SELECT src AS id, count(*) AS core_degree FROM e{kc_iters}
 GROUP BY src HAVING count(*) >= {kc_k}"""
     )
     kcore_sql = "".join(kc)
+
+    # ---- personalized_pagerank: rank.personalized_pagerank unrolled
+    # (restart vector 1/5 over ids 1-5; same IEEE-literal discipline)
+    pp = [
+        f"""
+WITH e AS ({two_formula_edges}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+od AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY src),
+norm AS (SELECT id, 1.0 / out_deg AS inv_norm FROM od),
+rst AS (SELECT id, CASE WHEN id BETWEEN 1 AND 5
+                        THEN CAST(0.2 AS DOUBLE) ELSE 0.0 END AS restart
+        FROM v),
+p0 AS (SELECT id, restart AS rank FROM rst)"""
+    ]
+    for i in range(1, 11):
+        pp.append(
+            f""",
+p{i} AS (
+  SELECT rst.id,
+         {base} * rst.restart + {damping!r} * coalesce(c.incoming, 0.0)
+           AS rank
+  FROM rst LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * n.inv_norm) AS incoming
+    FROM p{i - 1} r JOIN norm n ON r.id = n.id JOIN e ON r.id = e.src
+    GROUP BY e.dst) c ON rst.id = c.id)"""
+        )
+    pp.append("\nSELECT id, round(rank, 9) AS rank FROM p10")
+    ppr_sql = "".join(pp)
 
     # ---- random_walks: replay generate_walks(portable_hash=True) —
     # md5-derived neighbor choice over sorted adjacency, 7 unrolled steps
@@ -2347,6 +2414,15 @@ SELECT * FROM (VALUES
 """,
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
+        "personalized_pagerank": ppr_sql,
+        "url_canonical_dedup": """
+WITH m AS (SELECT doc_id % 7 AS j, doc_id % 40 AS p, doc_id % 4 AS c
+           FROM documents)
+SELECT 'http://www.site' || j || '.com/p/' || p ||
+       CASE WHEN c <= 1 THEN '?a=1&b=2' ELSE '' END AS canonical_url,
+       count(*) AS n_docs
+FROM m GROUP BY 1
+""",
         "node_similarity": """
 WITH adj AS (
   SELECT DISTINCT p_brand AS src, l_orderkey AS dst

@@ -101,6 +101,86 @@ def article_rank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart into a source
+    set — (id, rank). ``sources`` is a one-column (id) frame; restart
+    mass is split uniformly over it:
+
+        r_{t+1}(v) = (1-d) * restart(v) + d * sum_{u->v} r_t(u)/out(u)
+
+    The GDS-family companion to :func:`article_rank` (same invocation
+    surface, neo4j_helper.py:2154-2186) used for "relevance to THESE
+    seed entities" ranking — e.g. ranking the KG neighborhood of a
+    query's linked entities instead of global prestige.
+
+    Same scale discipline as article_rank: inv_norm pre-joined onto
+    edges once, ONE join + grouped sum per iteration, fixed iteration
+    count, localCheckpoint every 4 rounds. The restart vector rides the
+    vertex table as a column (one broadcast-sized left semi-join up
+    front, never per iteration); dangling mass is dropped, matching the
+    article_rank convention."""
+    e = edges.select("src", "dst").dropDuplicates().persist()
+    vertices = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+    )
+    src_ids = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    n_sources = src_ids.count()
+    if n_sources == 0:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    restart = F.when(
+        F.col("_is_src"), F.lit(1.0 / n_sources)
+    ).otherwise(F.lit(0.0))
+    vertices = (
+        vertices.join(
+            F.broadcast(src_ids.withColumn("_is_src", F.lit(True))),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("_is_src", F.lit(False)).alias("_is_src"))
+        .persist()
+    )
+    out_deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    norm_src = out_deg.select(
+        F.col("id").alias("src"),
+        (F.lit(1.0) / F.col("out_deg")).alias("inv_norm"),
+    )
+    e_norm = (
+        e.join(norm_src, "src")
+        .select(F.col("src").alias("id"), "dst", "inv_norm")
+        .repartition("id")
+        .localCheckpoint()
+    )
+    ranks = vertices.select("id", restart.alias("rank")).localCheckpoint()
+    for it in range(iterations):
+        contribs = (
+            ranks.join(e_norm, "id")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("inv_norm")).alias("incoming"))
+        )
+        ranks = vertices.join(contribs, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * restart
+                + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if it % 4 == 3 or it == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    e.unpersist()
+    vertices.unpersist()
+    return ranks
+
+
 def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """HITS hubs & authorities over directed edges(src, dst) ->
     (id, auth, hub), L1-normalized once after a FIXED iteration count.

@@ -128,3 +128,50 @@ def test_node_similarity_hub_cap_excludes_but_counts(spark, capsys):
     # uncapped ground truth for comparison: hub pairs appear too
     full = node_similarity(df, threshold=0.0, max_dst_freq=None).collect()
     assert len(full) == 3
+
+
+def _py_ppr(edges, sources, damping=0.85, iterations=10):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out_deg = {}
+    for a, _ in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    restart = {n: (1.0 / len(sources) if n in sources else 0.0) for n in nodes}
+    r = dict(restart)
+    for _ in range(iterations):
+        inc = {n: 0.0 for n in nodes}
+        for a, b in edges:
+            inc[b] += r[a] / out_deg[a]
+        r = {
+            n: (1 - damping) * restart[n] + damping * inc[n] for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_vs_python(spark):
+    from bertseyeview_spark.operators.rank import personalized_pagerank
+
+    edges = [
+        ("s", "a"), ("a", "b"), ("b", "c"), ("c", "a"),
+        ("s", "c"), ("d", "e"), ("e", "d"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    srcs = spark.createDataFrame([("s",)], ["id"])
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank(df, srcs, iterations=12).collect()
+    }
+    want = _py_ppr(edges, {"s"}, iterations=12)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+    # mass reachable from s only: the d/e island scores exactly zero
+    assert got["d"] == 0.0 and got["e"] == 0.0
+    assert got["a"] > 0 and got["c"] > 0
+
+
+def test_personalized_pagerank_empty_sources_raises(spark):
+    from bertseyeview_spark.operators.rank import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="non-empty source set"):
+        personalized_pagerank(df, spark.createDataFrame([], "id string"))

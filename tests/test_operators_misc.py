@@ -294,3 +294,33 @@ def test_host_profile(spark):
     }
     assert got["a.com"] == (3, 1, (9 + 9 + 5) / 3)
     assert got["b.org"] == (1, 0, 6.0)
+
+
+def test_canonical_url_rules(spark):
+    from bertseyeview_spark.functions.urls import canonical_url
+
+    cases = [
+        # scheme/host case + default port + fragment
+        ("HTTP://WWW.Ex.COM:80/A/b#frag", "http://www.ex.com/A/b"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        # tracking params dropped, rest sorted; trailing slash trimmed
+        (
+            "http://ex.com/p/?utm_source=tw&b=2&a=1&gclid=z",
+            "http://ex.com/p?a=1&b=2",
+        ),
+        ("http://ex.com/p?b=2&a=1", "http://ex.com/p?a=1&b=2"),
+        # empty path -> root; root slash kept
+        ("http://ex.com", "http://ex.com/"),
+        ("http://ex.com/", "http://ex.com/"),
+        # all params tracking -> no query at all
+        ("http://ex.com/q?utm_medium=m", "http://ex.com/q"),
+        # non-URL garbage passes through minus fragment
+        ("not a url#x", "not a url"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["u"])
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
+    ]
+    assert got == [c[1] for c in cases]
