@@ -23,8 +23,12 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 # dropped query parameters: click/campaign trackers that never change
-# page identity (the public "tracking params" lists all start here)
-TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid|ref)="
+# page identity (the public "tracking params" lists all start here).
+# Deliberately NOT included: ``ref`` — on major sites it is
+# content-bearing (branch selectors, product variants), so dropping it
+# would merge genuinely different pages, losing content rather than
+# spellings.
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|igshid)="
 
 
 def canonical_url(col):
@@ -37,7 +41,10 @@ def canonical_url(col):
     * tracking query parameters removed (:data:`TRACKING_PARAM_RE`),
       remaining parameters sorted bytewise and re-joined;
     * empty path becomes ``/``; trailing slashes on a non-root path
-      are dropped.
+      are dropped;
+    * userinfo (``user:pass@``) is dropped — credentials are not page
+      identity; bracketed IPv6 hosts keep their brackets and ports
+      split correctly.
 
     Rows that don't look like ``scheme://host...`` pass through with
     only the fragment stripped (garbage in, unchanged garbage out —
@@ -46,9 +53,21 @@ def canonical_url(col):
     u = F.regexp_replace(F.trim(col), r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    # authority: strip userinfo (credentials are never page identity),
+    # then split host/port with IPv6 bracket awareness — a plain
+    # first-colon split would truncate 'user:pass@h' to 'user' and
+    # '[::1]:8080' to '['
+    authority = F.regexp_replace(
+        F.regexp_extract(rest, r"^([^/?]*)", 1), r"^[^@]*@", ""
+    )
+    bracket = F.regexp_extract(authority, r"^(\[[^\]]*\])", 1)
+    host = F.when(bracket != "", F.lower(bracket)).otherwise(
+        F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    )
+    port = F.when(
+        bracket != "",
+        F.regexp_extract(authority, r"^\[[^\]]*\]:([0-9]+)$", 1),
+    ).otherwise(F.regexp_extract(authority, r"^[^:]*:([0-9]+)$", 1))
     keep_port = ~(
         (port == F.lit(""))
         | ((scheme == "http") & (port == "80"))

@@ -132,6 +132,7 @@ def ngram_jaccard_pairs(
     prefix_filter: bool | str = "auto",
     auto_prefix_candidates: int = 20_000_000,
     auto_min_docs: int = 100_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
@@ -176,7 +177,9 @@ def ngram_jaccard_pairs(
     computed inside the same frequency aggregation the cap already
     needs — no extra job — and printed whenever it is non-zero.
     """
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = shingle_table(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
 
     # tier-1 auto decision: a corpus row count (cheap — no shuffle,
@@ -330,7 +333,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _finalize(out, sh)
+    return _finalize(out, sh) if materialize else out if materialize else out
 
 
 # ---------------------------------------------------------------------------
@@ -363,6 +366,7 @@ def minhash_lsh_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via banding: docs agreeing on all rows of any band
     become candidates (bucket equi-join on (band, band-slice-hash)),
@@ -371,7 +375,9 @@ def minhash_lsh_pairs(
     public MinHash-LSH parameterization."""
     rows_per_band = num_perm // bands
     # one shingle pass feeds both signatures and candidate verification
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = shingle_table(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.persist()
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_perm)
@@ -431,7 +437,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _finalize(out, sh)
+    return _finalize(out, sh) if materialize else out if materialize else out
 
 
 # ---------------------------------------------------------------------------
@@ -570,6 +576,7 @@ def simhash_verified_pairs(
     max_hamming: int = 10,
     n: int = 3,
     threshold: float = 0.8,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash-bucketed near-dup pairs with an exact n-gram-Jaccard
     verify: candidates = :func:`simhash_pairs` (hamming banding prunes
@@ -591,7 +598,9 @@ def simhash_verified_pairs(
     cands = simhash_pairs(df, id_col, text_col, max_hamming).select(
         "id_a", "id_b"
     )
-    sh = shingle_table(df, id_col, text_col, n).persist()
+    sh = shingle_table(df, id_col, text_col, n)
+    if materialize:
+        sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
     a_sh = sh.withColumnRenamed("id", "id_a")
     b_sh = sh.withColumnRenamed("id", "id_b")
@@ -622,7 +631,7 @@ def simhash_verified_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _finalize(out, sh)
+    return _finalize(out, sh) if materialize else out
 
 
 # ---------------------------------------------------------------------------

@@ -166,6 +166,7 @@ def node_similarity(
     threshold: float = 0.2,
     max_dst_freq: int | None = 1000,
     log_dropped: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Neighborhood Jaccard between source nodes — the reference's
     ``gds.nodeSimilarity`` surface (the GDS family invoked from
@@ -186,16 +187,28 @@ def node_similarity(
     Never silent: dropped-hub count prints when non-zero."""
     # self-loop filter compares as strings: bipartite callers carry
     # different src/dst types and an ANSI-mode numeric cast of a
-    # non-numeric id would throw
+    # non-numeric id would throw. The deduped adjacency feeds sizes,
+    # the hub-cap probe, and both self-join sides — persist it once
+    # (same multi-consumer discipline as the dedup shingle tables) and
+    # release it after materializing the result.
     adj = edges.select("src", "dst").where(
         F.col("src").cast("string") != F.col("dst").cast("string")
     ).dropDuplicates()
+    if materialize:
+        adj = adj.persist()
     sizes = adj.groupBy("src").agg(F.count("*").alias("deg"))
     joinable = adj
     if max_dst_freq is not None:
         freq = adj.groupBy("dst").agg(F.count("*").alias("f"))
         if log_dropped:
-            n_dropped = freq.where(F.col("f") > max_dst_freq).count()
+            # one probe job over the (small) frequency table — the
+            # aggregation the cap needs anyway, not an extra pass over
+            # the adjacency
+            n_dropped = freq.agg(
+                F.sum(
+                    F.when(F.col("f") > max_dst_freq, 1).otherwise(0)
+                ).alias("n")
+            ).first()["n"]
             if n_dropped:
                 print(
                     f"[node_similarity] excluded {n_dropped} hub neighbors "
@@ -214,7 +227,7 @@ def node_similarity(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    return (
+    out = (
         common.join(
             sizes.select(F.col("src").alias("id_a"), F.col("deg").alias("deg_a")),
             "id_a",
@@ -231,6 +244,11 @@ def node_similarity(
         .where(F.col("similarity") >= threshold)
         .select("id_a", "id_b", F.round("similarity", 6).alias("similarity"))
     )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist(blocking=True)
+    return out
 
 
 def k_core(edges: DataFrame, k: int = 2, iterations: int = 6) -> DataFrame:

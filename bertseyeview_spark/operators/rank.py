@@ -202,6 +202,8 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
       join in as broadcast 1-row relations, no collect;
     * localCheckpoint every other iteration keeps lineage flat.
     """
+    if iterations < 1:
+        raise ValueError("hits_scores needs at least one iteration")
     e = edges.select("src", "dst").dropDuplicates().persist()
     vertices = (
         e.select(F.col("src").alias("id"))
@@ -210,8 +212,11 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
         .repartition("id")
         .persist()
     )
+    # only hubs need initialization: iteration 0 derives auths from
+    # them before any read of a prior auth value (matching the SQL
+    # oracle, which declares h0 only)
     hubs = vertices.select("id", F.lit(1.0).alias("hub")).localCheckpoint()
-    auths = vertices.select("id", F.lit(1.0).alias("auth"))
+    auths = None
     for it in range(iterations):
         auth_in = (
             hubs.join(e, hubs["id"] == e["src"])

@@ -52,7 +52,10 @@ def bm25_search(
     # pays (every token shuffled once per query) never happens. At
     # 100 TB the plan is: one column-pruned scan -> scalar agg for
     # (n_docs, avg_dl), one scan -> tiny explode of matched terms.
-    base = docs.select(
+    # null-text docs carry no tokens: the explode-based formulation
+    # (and the SQL oracle's unnest) never sees them, so they must not
+    # inflate n_docs/avg_dl here either
+    base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
     ).select(

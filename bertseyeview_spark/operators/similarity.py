@@ -4,9 +4,15 @@ Two paths, as a 100 TB pipeline needs both:
 
 * **brute-force cosine top-k** — the exact baseline: one broadcast of
   the (small) query set against the (huge) corpus, dot products via
-  ``zip_with``/``aggregate`` (JVM, codegen), per-query top-k via a
-  window. Cost is one corpus scan per batch of queries — fine when
-  queries are few and the corpus is columnar.
+  ``zip_with``/``aggregate``, per-query top-k via a window. Cost is
+  one corpus scan per batch of queries — fine when queries are few and
+  the corpus is columnar. (The HOF fold runs interpreted, not
+  codegen'd, but for a pure-arithmetic reduction that is the FASTER
+  shape: an unrolled 64-term ``element_at`` codegen expression
+  measured 3.6x slower — the expression tree dwarfs the loop. The
+  interpreted-HOF hazard is allocation-heavy per-element work like
+  string building, not numeric folds; see operators/dedup.py
+  shingle_table for the opposite case.)
 * **LSH-bucketed ANN** — random-hyperplane signatures (seeded,
   deterministic) shrink candidates to same-bucket rows; exact cosine
   re-ranks candidates. Recall is tunable with bands; the shuffle moves

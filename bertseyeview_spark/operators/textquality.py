@@ -315,10 +315,18 @@ def host_profile(
     boilerplate farms and mirror hosts light up here, the standard
     first cut when deciding which hosts to down-sample), and mean page
     length. Host extraction is one dialect-safe regex (no parse_url —
-    identical semantics in an ANSI oracle); digests group by md5 so the
-    shuffle carries 32-byte keys, never page text. One grouped
-    aggregation; at web scale this is a single map-side-combined pass."""
-    host = F.regexp_extract(F.col(url_col), r"^[a-z]+://([^/]+)/", 1)
+    identical semantics in an ANSI oracle) that tolerates uppercase
+    schemes and pathless URLs (``https://example.com`` with no
+    trailing slash is the common crawl-index form — requiring a ``/``
+    would silently dump those rows under host ''); digests group by
+    md5 so the shuffle carries 32-byte keys, never page text. One
+    grouped aggregation; at web scale this is a single
+    map-side-combined pass."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+        )
+    )
     return (
         df.select(
             host.alias("host"),

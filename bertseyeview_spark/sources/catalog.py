@@ -130,31 +130,57 @@ class TableCatalog:
         the table moved past ``base_version`` since the writer read it."""
         os.makedirs(self._root(name), exist_ok=True)
         cur = self.current_version(name)
+        # reserve a version slot ATOMICALLY: os.mkdir is exclusive, so
+        # two concurrent writers can never claim the same directory and
+        # overwrite each other's data files (an aborted writer's leftover
+        # dir simply stays skipped)
         new_version = (cur or 0) + 1
-        # find a free slot (an aborted writer may have left a dir)
-        while os.path.exists(self._version_path(name, new_version)):
-            new_version += 1
+        while True:
+            try:
+                os.mkdir(self._version_path(name, new_version))
+                break
+            except FileExistsError:
+                new_version += 1
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._version_path(name, new_version))
-        # validate AFTER the (slow) data write, right before the
-        # pointer swing — the same ordering Iceberg uses: data files
-        # first, then the cheap atomic metadata commit with validation
-        if check_base and self.current_version(name) != base_version:
-            raise SnapshotConflictError(
-                f"table '{name}' moved from snapshot {base_version} to "
-                f"{self.current_version(name)} during the merge; retry "
-                "against the new base"
-            )
+        # validate + swing under a short exclusive lock — the cheap
+        # atomic metadata commit AFTER the slow data write, Iceberg's
+        # ordering. Without the lock, two merges from the same base can
+        # both pass a check-then-swing validation and silently lose one
+        # update; O_EXCL makes validate-and-swing a critical section.
         n_rows = self.spark.read.parquet(
             self._version_path(name, new_version)
         ).count()
-        tmp = self._pointer_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(tmp, self._pointer_path(name))  # the atomic commit
-        self._log_snapshot(name, op, n_rows, new_version)
+        lock = os.path.join(self._root(name), "_commit.lock")
+        fd = None
+        for _ in range(2000):  # ~100 s bound; commits hold it for ms
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.05)
+        if fd is None:
+            raise SnapshotConflictError(
+                f"table '{name}': commit lock held too long (stale "
+                f"'{lock}'? remove it if no writer is alive)"
+            )
+        try:
+            if check_base and self.current_version(name) != base_version:
+                raise SnapshotConflictError(
+                    f"table '{name}' moved from snapshot {base_version} "
+                    f"to {self.current_version(name)} during the merge; "
+                    "retry against the new base"
+                )
+            tmp = self._pointer_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(new_version))
+            os.replace(tmp, self._pointer_path(name))  # the atomic commit
+            self._log_snapshot(name, op, n_rows, new_version)
+        finally:
+            os.close(fd)
+            os.unlink(lock)
         return new_version
 
     # ------------- table ops -------------
@@ -310,21 +336,26 @@ class BucketedStore:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
 
-    def _table_location(self, name: str) -> str | None:
-        """The metastore-reported filesystem location of ``name``, or
-        None when the catalog has no such table."""
+    def _table_info(self, name: str) -> tuple[str | None, str | None]:
+        """(location, type) the metastore reports for ``name`` —
+        type is e.g. 'MANAGED' or 'EXTERNAL' — or (None, None)."""
+        loc: str | None = None
+        ttype: str | None = None
         try:
             if not self.spark.catalog.tableExists(name):
-                return None
+                return None, None
             for row in self.spark.sql(
                 f"DESCRIBE TABLE EXTENDED {name}"
             ).collect():
-                if (row.col_name or "").strip() == "Location":
-                    loc = (row.data_type or "").strip()
-                    return loc.removeprefix("file:") if loc else None
+                key = (row.col_name or "").strip()
+                if key == "Location":
+                    val = (row.data_type or "").strip()
+                    loc = val.removeprefix("file:") if val else None
+                elif key == "Type":
+                    ttype = (row.data_type or "").strip().upper()
         except Exception:  # noqa: BLE001
-            return None
-        return None
+            return None, None
+        return loc, ttype
 
     def write_bucketed(
         self,
@@ -337,20 +368,24 @@ class BucketedStore:
         # a table dropped in a *previous* session's metastore leaves its
         # warehouse directory behind; saveAsTable then refuses the name.
         # Drop + clear the stale location so overwrite is truly idempotent.
-        # Deletion is catalog-driven, never guessed: if the metastore
-        # knows the table, delete exactly the location it reports (this
-        # also handles non-default databases and custom locations); if
-        # it does not, only clear the default-warehouse path and only
+        # Deletion is catalog-driven AND guarded, never guessed: only a
+        # MANAGED table's reported location may be removed, and only
         # when its contents look like Spark table output (part-*/
-        # _SUCCESS files) — never an arbitrary directory that happens
-        # to share the name.
-        loc = self._table_location(name)
+        # _SUCCESS) — an EXTERNAL table's data dir is user-owned (DROP
+        # TABLE deliberately preserves it, and so must we), and a
+        # metastore-unknown name may only clear the default-warehouse
+        # path under the same looks-like-table-output check.
+        loc, ttype = self._table_info(name)
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         try:
             import shutil
 
             if loc is not None:
-                if os.path.isdir(loc):
+                if (
+                    ttype == "MANAGED"
+                    and os.path.isdir(loc)
+                    and _looks_like_table_dir(loc)
+                ):
                     shutil.rmtree(loc)
             else:
                 warehouse = self.spark.conf.get("spark.sql.warehouse.dir")
