@@ -1033,6 +1033,39 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLS_WEIGHTS = [
+    ("spark", 1.17), ("join", 0.83), ("slow", -1.51),
+    ("fast", 0.67), ("value", -0.29), ("merge", 0.91),
+]
+CLS_BIAS = -0.45
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible corpus rebalancing: down-sample two dominant sources,
+    # keep the rest whole; portable hash so an ANSI oracle replays the
+    # exact keep/drop decisions (production uses the xxhash64 path)
+    from bertseyeview_spark.operators.sampling import stratified_sample
+
+    kept = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        key_col="doc_id",
+        rates={"src0": 0.2, "src1": 0.5},
+        default_rate=1.0,
+        portable=True,
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_docs"))
+
+
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bertseyeview_spark.operators.classifier import classifier_scores
+
+    w = spark.createDataFrame(CLS_WEIGHTS, "token string, weight double")
+    return classifier_scores(
+        _t(spark, sf_dir, "documents"), w, "doc_id", "text", bias=CLS_BIAS
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Iceberg changelog read: commit nation as v1, a mutated v2
     # (deletes where key%5=0, comment rewrites where key%3=0, five
@@ -1385,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "personalized_pagerank": q_personalized_pagerank,
         "url_canonical_dedup": q_url_canonical_dedup,
+        "stratified_sample": q_stratified_sample,
+        "classifier_quality": q_classifier_quality,
     }
 
 
@@ -2415,6 +2450,30 @@ SELECT * FROM (VALUES
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
         "personalized_pagerank": ppr_sql,
+        "stratified_sample": """
+SELECT source, count(*) AS n_docs FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+        % 1000000
+      < CASE source WHEN 'src0' THEN 200000
+                    WHEN 'src1' THEN 500000
+                    ELSE 1000000 END
+GROUP BY 1
+""",
+        "classifier_quality": f"""
+WITH w(token, weight) AS (VALUES {", ".join(f"('{t}', {v}::DOUBLE)" for t, v in CLS_WEIGHTS)}),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL),
+hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
+         GROUP BY id)
+SELECT d.doc_id AS id,
+  round({CLS_BIAS} + coalesce(ws, 0.0), 6) AS logit,
+  round(1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))), 6) AS score,
+  (1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))) >= 0.5)
+    AS quality_pass
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
+""",
         "url_canonical_dedup": """
 WITH m AS (SELECT doc_id % 7 AS j, doc_id % 40 AS p, doc_id % 4 AS c
            FROM documents)

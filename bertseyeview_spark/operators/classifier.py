@@ -1,0 +1,57 @@
+"""Linear text-quality classifier scoring (fasttext-style inference).
+
+Modern web-corpus pipelines gate documents with a trained quality
+classifier (a linear model over token features — the published
+CommonCrawl-filtering recipe). TRAINING happens offline; what the
+100 TB pipeline needs is cheap distributed INFERENCE, which is just:
+
+    logit(doc) = bias + sum_t tf(doc, t) * weight(t)
+    score      = sigmoid(logit)
+
+expressed as one explode + one broadcast join + one grouped sum — all
+JVM-side, no UDFs, map-side combined. The weight table is tiny
+(vocabulary-sized) and broadcasts; docs with no known tokens score
+sigmoid(bias).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    text_col: str,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score every document with a linear token-weight model.
+
+    ``weights`` is (token string, weight double) — broadcast side.
+    Returns (id, logit, score, quality_pass); logit/score rounded to 6
+    (sum order is engine-dependent at the 1e-15 level; the rounding
+    absorbs it, as in the rank operators)."""
+    toks = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("token"),
+    )
+    hits = toks.join(F.broadcast(weights), "token").groupBy("id").agg(
+        F.sum("weight").alias("w_sum")
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    logit = F.lit(float(bias)) + F.coalesce(F.col("w_sum"), F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        ids.join(hits, "id", "left")
+        .select(
+            "id",
+            F.round(logit, 6).alias("logit"),
+            F.round(score, 6).alias("score"),
+            (score >= F.lit(threshold)).alias("quality_pass"),
+        )
+    )

@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling — the reproducibility-critical subset
+operators every training-data pipeline needs.
+
+``sample()``/``rand()`` are banned in this engine: they change with
+partitioning, retries, and Spark versions. These operators key the
+keep/drop decision on a HASH OF A ROW KEY, so the same row makes the
+same decision on any cluster size, on resume, and across reruns — the
+property that makes ablation corpora and holdout splits reproducible.
+
+* :func:`hash_sample` — keep a fraction ``rate`` of rows.
+* :func:`stratified_sample` — per-stratum rates (e.g. down-sample the
+  dominant language/source, keep the tail whole — the standard corpus
+  rebalancing step).
+
+Both are single codegen'd filters — no shuffle, no state; at 100 TB
+the sample IS the scan with a pushed-down-able predicate on top.
+
+Hash choice: ``xxhash64`` (JVM, fastest) by default; ``portable=True``
+switches to a 32-bit prefix of md5, bit-replayable in any engine
+(DuckDB: ``('0x' || substr(md5(k),1,8))::BIGINT``) for cross-engine
+verification. Same guarantees, ~2x slower — use it for audits, not
+production scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key_col, seed: int, portable: bool):
+    if portable:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(key_col.cast("string"), F.lit(f"#{seed}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(_BUCKETS),
+        )
+    return F.pmod(F.xxhash64(key_col.cast("string"), F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``rate`` fraction of
+    1e6 buckets. Exact-in-expectation, deterministic always."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(
+        _bucket(F.col(key_col), seed, portable) < int(rate * _BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-stratum hash sampling: ``rates`` maps stratum value ->
+    keep fraction; unlisted strata use ``default_rate``. The rate map
+    compiles to a when/otherwise chain (strata counts are small — a
+    handful of languages/sources), so the whole decision stays one
+    codegen'd filter; hand a DataFrame-shaped rate table to a broadcast
+    join instead if strata run to thousands."""
+    for v in rates.values():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError("rates must be in [0, 1]")
+    threshold = F.lit(int(default_rate * _BUCKETS))
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        t = F.lit(int(rate * _BUCKETS))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    threshold = threshold if expr is None else expr.otherwise(threshold)
+    return df.where(_bucket(F.col(key_col), seed, portable) < threshold)

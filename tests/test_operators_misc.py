@@ -330,3 +330,84 @@ def test_canonical_url_rules(spark):
         for r in df.select(canonical_url(F.col("u")).alias("c")).collect()
     ]
     assert got == [c[1] for c in cases]
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from bertseyeview_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 10000).select(F.col("id"))
+    kept = hash_sample(df, "id", 0.3)
+    n = kept.count()
+    assert abs(n / 10000 - 0.3) < 0.02
+    # partitioning-invariant and rerun-stable
+    a = sorted(r["id"] for r in kept.collect())
+    b = sorted(
+        r["id"] for r in hash_sample(df.repartition(7), "id", 0.3).collect()
+    )
+    assert a == b
+    # nested property: a 0.1 sample is a subset of the 0.3 sample
+    c = {r["id"] for r in hash_sample(df, "id", 0.1).collect()}
+    assert c <= set(a)
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)
+
+
+def test_stratified_sample_portable_matches_python(spark):
+    import hashlib
+
+    from bertseyeview_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    got = {
+        r["k"]
+        for r in stratified_sample(
+            df, "s", "k", {"a": 0.25}, default_rate=0.75, portable=True
+        ).collect()
+    }
+
+    def bucket(k):
+        return int(hashlib.md5(f"{k}#42".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    want = {
+        k
+        for k, s in rows
+        if bucket(k) < (250_000 if s == "a" else 750_000)
+    }
+    assert got == want
+
+
+def test_classifier_scores_vs_python(spark):
+    import math
+
+    from bertseyeview_spark.operators.classifier import classifier_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join fast"),          # 1.17+0.83+0.67-0.45 -> pass
+            (2, "slow slow value"),          # strongly negative
+            (3, "unknown words only"),       # sigmoid(bias)
+            (4, None),                       # null text -> bias only
+        ],
+        ["doc_id", "text"],
+    )
+    w = spark.createDataFrame(
+        [("spark", 1.17), ("join", 0.83), ("slow", -1.51),
+         ("fast", 0.67), ("value", -0.29)],
+        "token string, weight double",
+    )
+    got = {
+        r["id"]: (r["logit"], r["score"], r["quality_pass"])
+        for r in classifier_scores(docs, w, "doc_id", "text", bias=-0.45).collect()
+    }
+    exp = {
+        1: 1.17 + 0.83 + 0.67 - 0.45,
+        2: -1.51 * 2 - 0.29 - 0.45,
+        3: -0.45,
+        4: -0.45,
+    }
+    for i, z in exp.items():
+        assert got[i][0] == pytest.approx(round(z, 6))
+        assert got[i][1] == pytest.approx(round(1 / (1 + math.exp(-z)), 6))
+        assert got[i][2] == (1 / (1 + math.exp(-z)) >= 0.5)
+    assert got[1][2] and not got[2][2]
