@@ -81,6 +81,18 @@ def main() -> None:
         if os.environ.get("BENCH_KG_FUSED", "1") == "1"
         else construct_triples
     )
+    # untimed warmup of the KG path itself (same policy as the headline
+    # queries below): the first build pays whole-stage-codegen JIT and
+    # Python/Arrow worker startup (~6s on this host — 3x the actual
+    # 20k-page work), which a long-running production job amortizes to
+    # zero. Steady-state is the number a 100 TB run sees.
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        warm_pages = pages_to_spark(
+            spark, generate_corpus(500, seed=1), num_partitions=cpus
+        )
+        build(spark, warm_pages, ner_scorer_layers=ner_layers).write.format(
+            "noop"
+        ).mode("overwrite").save()
     t0 = time.time()
     triples = build(spark, pages, ner_scorer_layers=ner_layers).persist()
     n_triples = triples.count()
