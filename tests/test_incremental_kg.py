@@ -146,3 +146,58 @@ def test_incremental_from_catalog_changelog(spark, tmp_path):
     )
     pipe_full.run_all(pages_v2, fused=True)
     assert _triples(pipe) == _triples(pipe_full)
+
+
+def test_stream_kg_maintenance_matches_full_rebuild(spark, tmp_path):
+    """Streaming crawl deltas -> merged corpus snapshot -> incremental
+    graph maintenance; after draining, the graph equals run_all over
+    the merged corpus."""
+    import os
+
+    from bertseyeview_spark.streaming.incremental import stream_kg_maintenance
+
+    c1 = generate_corpus(50, seed=13)
+    pages1 = pages_to_spark(spark, c1)
+    # delta: re-crawl 5 pages with new content + 10 brand-new urls
+    urls = sorted(r["url"] for r in pages1.select("url").collect())
+    donor = generate_corpus(5, seed=31).pages
+    pdf = c1.pages.set_index("url", drop=False)
+    for i, u in enumerate(urls[:5]):
+        for col in ("html", "text"):
+            pdf.at[u, col] = donor.iloc[i][col]
+    recrawled = pdf.loc[urls[:5]].reset_index(drop=True)
+    newpages = generate_corpus(10, seed=47).pages.copy()
+    newpages["url"] = [f"https://example.org/live/{i:04d}" for i in range(10)]
+
+    stream_dir = str(tmp_path / "deltas")
+    pages_to_spark(spark, c1.pages).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    pipe = KGPipeline(spark, str(tmp_path / "wd"), n_buckets=4, chunk_size=4)
+    # drain batch 0 (bootstrap: full build through the same code path)
+    stream_kg_maintenance(spark, stream_dir, pipe, cat)
+    boot = _triples(pipe)
+    assert boot  # bootstrap produced a graph
+
+    # drop the delta files and drain again (checkpoint skips batch0)
+    import pandas as pd
+
+    pages_to_spark(
+        spark, pd.concat([recrawled, newpages], ignore_index=True)
+    ).coalesce(1).write.mode("append").parquet(stream_dir)
+    stream_kg_maintenance(spark, stream_dir, pipe, cat)
+
+    merged = pd.concat(
+        [pdf[~pdf["url"].isin(set(newpages["url"]))], newpages],
+        ignore_index=True,
+    )
+    pipe_full = KGPipeline(
+        spark, str(tmp_path / "wd_full"), n_buckets=4, chunk_size=4
+    )
+    pipe_full.run_all(pages_to_spark(spark, merged), fused=True)
+    assert _triples(pipe) == _triples(pipe_full)
+    assert _triples(pipe) != boot
+    # corpus snapshot reflects the merge: 60 urls, recrawls updated
+    assert cat.read_table("pages").count() == 60
