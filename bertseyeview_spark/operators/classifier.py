@@ -33,7 +33,12 @@ def classifier_scores(
     ``weights`` is (token string, weight double) — broadcast side.
     Returns (id, logit, score, quality_pass); logit/score rounded to 6
     (sum order is engine-dependent at the 1e-15 level; the rounding
-    absorbs it, as in the rank operators)."""
+    absorbs it, as in the rank operators).
+
+    Contentless documents (NULL or whitespace-only text) always get
+    ``quality_pass = false``: with the defaults (bias 0, threshold 0.5)
+    their score is exactly sigmoid(0) = 0.5 and a plain ``>=`` gate
+    would wave empty documents through the quality filter."""
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -43,7 +48,10 @@ def classifier_scores(
     hits = toks.join(F.broadcast(weights), "token").groupBy("id").agg(
         F.sum("weight").alias("w_sum")
     )
-    ids = docs.select(F.col(id_col).alias("id"))
+    has_text = (
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != F.lit(""))
+    )
+    ids = docs.select(F.col(id_col).alias("id"), has_text.alias("_has_text"))
     logit = F.lit(float(bias)) + F.coalesce(F.col("w_sum"), F.lit(0.0))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return (
@@ -52,6 +60,8 @@ def classifier_scores(
             "id",
             F.round(logit, 6).alias("logit"),
             F.round(score, 6).alias("score"),
-            (score >= F.lit(threshold)).alias("quality_pass"),
+            (F.col("_has_text") & (score >= F.lit(threshold))).alias(
+                "quality_pass"
+            ),
         )
     )

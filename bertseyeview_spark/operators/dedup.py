@@ -152,17 +152,16 @@ def ngram_jaccard_pairs(
     The filter's row_number window + extra joins only pay for
     themselves when the raw candidate volume is large; at small scale
     they are pure overhead (a measured 4x slowdown at sf0.1). Default
-    ``"auto"`` is therefore cost-based, in two tiers so the decision
-    itself stays cheap: (1) a corpus row count — below
-    ``auto_min_docs`` docs the candidate space cannot justify the
-    pruning machinery, take the plain path with no further probing;
-    (2) past that, one aggregation over the shingle-frequency table
-    (needed anyway when the cap is on) computes the exact candidate
-    volume sum_s f_s*(f_s-1)/2 — the row count the shingle equi-join
-    would produce — and prefix filtering turns on only when it exceeds
+    ``"auto"`` is therefore cost-based, at the price of ONE probe job:
+    a single aggregation over the shingle-frequency table (needed
+    anyway when the cap is on) computes the exact candidate volume
+    sum_s f_s*(f_s-1)/2 — the row count the shingle equi-join would
+    produce — and prefix filtering turns on only when it exceeds
     ``auto_prefix_candidates`` (default 2e7 rows, roughly where the
-    pruning joins cost less than the avoided join volume). Pass
-    True/False to force either path; output is identical.
+    pruning joins cost less than the avoided join volume). Only when
+    the cap is disabled (no frequency table needed) does a cheap
+    corpus row count (``auto_min_docs``) settle small inputs first.
+    Pass True/False to force either path; output is identical.
 
     ``max_shingle_freq`` drops ubiquitous shingles (boilerplate) before
     the self-join — the skew guard: a shingle appearing in f docs
@@ -182,11 +181,14 @@ def ngram_jaccard_pairs(
         sh = sh.persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("set_size"))
 
-    # tier-1 auto decision: a corpus row count (cheap — no shuffle,
-    # parquet answers it from footers) settles small inputs without
-    # ever materializing shingle statistics
-    if prefix_filter == "auto" and df.count() < auto_min_docs:
-        prefix_filter = False
+    # tier-1 auto decision by corpus row count runs ONLY when no
+    # frequency probe will run anyway (cap disabled): with the
+    # default-on cap the candidate-volume aggregation below already
+    # answers the auto decision, so adding a row-count job here would
+    # make the decision cost two probe jobs instead of one.
+    if prefix_filter == "auto" and max_shingle_freq is None:
+        if df.count() < auto_min_docs:
+            prefix_filter = False
 
     joinable = sh
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
@@ -333,7 +335,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _finalize(out, sh) if materialize else out if materialize else out
+    return _finalize(out, sh) if materialize else out
 
 
 # ---------------------------------------------------------------------------
@@ -437,7 +439,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return _finalize(out, sh) if materialize else out if materialize else out
+    return _finalize(out, sh) if materialize else out
 
 
 # ---------------------------------------------------------------------------
@@ -680,4 +682,59 @@ def dedup_representatives(
             F.coalesce("rep_id", "id").alias("rep_id"),
         )
         .withColumn("is_rep", F.col("id") == F.col("rep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word n-gram with an
+    evaluation benchmark — the published decontamination recipe (GPT-3
+    appendix C used 13-gram overlap; FineWeb and most open pipelines
+    use 8-10-grams). A document containing even one benchmark shingle
+    is marked ``contaminated`` so the training split can exclude it and
+    eval numbers stay honest.
+
+    Returns (id, n_hit_shingles, contaminated) for every document.
+
+    Scale plan: the benchmark suite is tiny relative to the corpus, so
+    its distinct shingles BROADCAST and the corpus side is scanned
+    exactly once — shingle generation, the broadcast hash probe, and
+    the pre-shuffle partial count all fuse into one codegen stage; the
+    only exchange carries (id, partial_count) for documents that hit.
+    No corpus-side shuffle keyed on shingle ever happens, so benchmark
+    skew (a common phrase in many eval questions) cannot hotspot. For
+    a benchmark too large to broadcast, drop the hint and the same
+    plan degrades gracefully to a shuffle semi-join.
+    """
+    bench_sh = (
+        shingle_table(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+            "_bid",
+            bench_text_col,
+            n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = shingle_table(docs, id_col, text_col, n)
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    return ids.join(hits, "id", "left").select(
+        "id",
+        F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
     )

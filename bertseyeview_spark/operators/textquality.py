@@ -399,3 +399,89 @@ def redact_pii(
         )
         cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
     return out.select("id", cur.alias("text"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# LM perplexity quality signal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def lm_perplexity(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.1,
+    model_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document perplexity under a bigram language model fit on the
+    corpus (add-alpha smoothed) — the CCNet quality signal: CCNet ranks
+    CommonCrawl documents by KenLM perplexity and keeps the fluent
+    tail. The distributed shape is identical for any count-based LM:
+    *fitting* is grouped aggregation, *scoring* is a join against the
+    count tables, so the same plan carries a 5-gram KenLM export at
+    100 TB (the model becomes a bigger lookup table).
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + a) / (c(w_{i-1}) + a*V)
+        ppl(doc)         = exp(-mean_i ln P(w_i | w_{i-1}))
+
+    ``model_docs`` (default: ``docs`` itself, the self-scoring mode)
+    is the corpus the model is fit on, so held-out scoring works; the
+    smoothing keeps unseen bigrams finite.
+
+    Returns (id, n_bigrams, ppl) for documents with >= 1 bigram
+    (single-token/empty docs define no bigram distribution).
+
+    Scale notes: bigram extraction is the zipped-slices explode (pure
+    codegen, no HOF lambdas); the bigram-count join is an equi-join on
+    (w1, w2) — composite bigram keys are far flatter than unigram
+    keys, so no salting needed; the CONTEXT-count table is
+    vocabulary-sized and broadcast, which removes the one genuinely
+    skewed join (every bigram starting with 'the' hitting one key) —
+    cap the vocabulary upstream if it outgrows the broadcast ceiling.
+    """
+    if model_docs is None:
+        model_docs = docs
+
+    def bigrams(src: DataFrame, idc: str) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        m = F.size("_t") - F.lit(1)
+        return (
+            src.select(F.col(idc).alias("id"), toks.alias("_t"))
+            .where(F.size("_t") >= 2)
+            .select(
+                "id",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(F.col("_t"), 1, m), F.slice(F.col("_t"), 2, m)
+                    )
+                ).alias("_z"),
+            )
+            .select("id", F.col("_z")["0"].alias("w1"), F.col("_z")["1"].alias("w2"))
+        )
+
+    model_bg = bigrams(model_docs, id_col)
+    c2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = model_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        model_docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("tok")
+        )
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+
+    doc_bg = bigrams(docs, id_col)
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    return (
+        doc_bg.join(c2, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.exp(-F.avg(logp)), 6).alias("ppl"),
+        )
+    )

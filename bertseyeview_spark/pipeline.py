@@ -405,11 +405,13 @@ class KGPipeline:
         """
         import shutil
 
+        # a NULL url would hash to a NULL bucket: sorted() would then
+        # compare None with int (TypeError) and no real partition could
+        # match it anyway — drop nulls before bucketing
         affected = sorted(
             r["b"]
-            for r in changed_urls.select(
-                bucket_expr("url", self.n_buckets).alias("b")
-            )
+            for r in changed_urls.where(F.col("url").isNotNull())
+            .select(bucket_expr("url", self.n_buckets).alias("b"))
             .distinct()
             .collect()
         )

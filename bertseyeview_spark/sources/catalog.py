@@ -47,6 +47,13 @@ class SnapshotConflictError(RuntimeError):
     swinging the table pointer (a concurrent writer won)."""
 
 
+class LockTimeoutError(RuntimeError):
+    """Raised when the commit lock could not be acquired within the
+    bound — distinct from :class:`SnapshotConflictError` so callers can
+    tell 'a concurrent writer won the race' (retry against new base)
+    from 'the lock is wedged' (operational problem)."""
+
+
 class TableCatalog:
     """Versioned, snapshot-isolated table store (Iceberg semantics on
     parquet). Every commit writes an immutable version directory
@@ -158,13 +165,27 @@ class TableCatalog:
         for _ in range(2000):  # ~100 s bound; commits hold it for ms
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 break
             except FileExistsError:
+                # stale-lock reclamation: a writer that crashed while
+                # holding the lock would otherwise wedge every later
+                # commit until someone removes the file by hand. The
+                # lock records its owner pid — if that pid is dead (or
+                # the file is unreadably corrupt AND old) the lock is
+                # reclaimed; unlink+retry races are safe because O_EXCL
+                # lets exactly one reclaimer win the re-create.
+                if self._lock_is_stale(lock):
+                    try:
+                        os.unlink(lock)
+                    except FileNotFoundError:
+                        pass
+                    continue
                 time.sleep(0.05)
         if fd is None:
-            raise SnapshotConflictError(
-                f"table '{name}': commit lock held too long (stale "
-                f"'{lock}'? remove it if no writer is alive)"
+            raise LockTimeoutError(
+                f"table '{name}': commit lock '{lock}' held too long by a "
+                "live writer — investigate the holder before removing it"
             )
         try:
             if check_base and self.current_version(name) != base_version:
@@ -182,6 +203,29 @@ class TableCatalog:
             os.close(fd)
             os.unlink(lock)
         return new_version
+
+    @staticmethod
+    def _lock_is_stale(lock: str, max_age_sec: float = 600.0) -> bool:
+        """True when the lock's recorded owner pid is dead, or the file
+        is unreadable/garbled and older than ``max_age_sec`` (a
+        half-written lock from a crash mid-write)."""
+        try:
+            with open(lock) as f:
+                pid = int(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            try:
+                return time.time() - os.path.getmtime(lock) > max_age_sec
+            except OSError:
+                return False  # vanished — holder released it; retry
+        if pid == os.getpid():
+            return False
+        try:
+            os.kill(pid, 0)
+            return False  # owner alive
+        except ProcessLookupError:
+            return True
+        except PermissionError:
+            return False  # alive, owned by another user
 
     # ------------- table ops -------------
 

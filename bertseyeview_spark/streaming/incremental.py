@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -137,7 +137,21 @@ def stream_kg_maintenance(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch = batch_df.dropDuplicates(["url"])
+        # A batch may contain two crawls of the same url; the winner
+        # must be DETERMINISTIC or a post-crash replay of the same
+        # batch could upsert a different row and break the idempotent-
+        # replay invariant (dropDuplicates keeps an arbitrary row).
+        # Latest warc_ts wins (nulls lose); content hash breaks exact
+        # timestamp ties so the pick is stable at any parallelism.
+        w = Window.partitionBy("url").orderBy(
+            F.desc_nulls_last("warc_ts"),
+            F.desc(F.xxhash64(F.col("text"), F.col("html"))),
+        )
+        batch = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         corpus_catalog.merge_into(batch, corpus_table, keys=["url"])
         pipeline.run_incremental(
             corpus_catalog.read_table(corpus_table),

@@ -73,6 +73,32 @@ def test_time_travel_and_rollback(spark, tmp_path):
     assert {r["v"] for r in cat.read_table("t", version=v2).collect()} == {10, 2}
 
 
+def test_commit_after_rollback_never_clobbers(spark, tmp_path):
+    """Iceberg corner: committing AFTER a rollback must allocate a
+    fresh version — never reuse/overwrite the rolled-past snapshot's
+    data dir — and the merge must apply to the rolled-back state."""
+    cat = TableCatalog(spark, str(tmp_path / "wh9"))
+    cat.write_table(spark.createDataFrame([("a", 1)], ["id", "v"]), "t")
+    cat.merge_into(
+        spark.createDataFrame([("a", 10), ("b", 2)], ["id", "v"]), "t", ["id"]
+    )
+    v2 = cat.current_version("t")
+    cat.rollback("t", 1)
+    # new write from the rolled-back state: v2's dir exists, so the
+    # slot reservation must skip to v3
+    cat.merge_into(spark.createDataFrame([("c", 3)], ["id", "v"]), "t", ["id"])
+    v3 = cat.current_version("t")
+    assert v3 > v2
+    # merge applied to v1's contents (a=1), not v2's (a=10, b=2)
+    assert {(r["id"], r["v"]) for r in cat.read_table("t").collect()} == {
+        ("a", 1), ("c", 3)
+    }
+    # the rolled-past snapshot is byte-intact
+    assert {r["v"] for r in cat.read_table("t", version=v2).collect()} == {10, 2}
+    ops = [s["op"] for s in cat.snapshots("t")]
+    assert ops == ["overwrite", "merge", "rollback", "merge"]
+
+
 def test_concurrent_merge_conflict(spark, tmp_path):
     """Optimistic concurrency: a merge computed against a base snapshot
     must fail with SnapshotConflictError if another writer committed in
@@ -98,6 +124,42 @@ def test_concurrent_merge_conflict(spark, tmp_path):
         )
     # the winning write is intact
     assert {r["id"] for r in cat.read_table("t").collect()} == {"a", "b"}
+
+
+def test_stale_commit_lock_reclaimed(spark, tmp_path):
+    """A writer that crashed while holding _commit.lock must not wedge
+    the table: a lock whose recorded owner pid is dead is reclaimed and
+    the commit proceeds (no hand cleanup, no 100s spin)."""
+    import os
+    import time as _time
+
+    cat = TableCatalog(spark, str(tmp_path / "wh8"))
+    cat.write_table(spark.createDataFrame([("a", 1)], ["id", "v"]), "t")
+    lock = os.path.join(cat._root("t"), "_commit.lock")
+    # forge a lock owned by a dead pid (spawn-and-reap a child)
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    pid = proc.pid
+    with open(lock, "w") as f:
+        f.write(f"{pid} {_time.time()}")
+    t0 = _time.time()
+    cat.write_table(spark.createDataFrame([("b", 2)], ["id", "v"]), "t")
+    assert _time.time() - t0 < 30  # reclaimed, not spun to timeout
+    assert cat.read_table("t").collect()[0]["id"] == "b"
+    # a live-owner lock is NOT stolen
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} {_time.time()}")
+    assert not cat._lock_is_stale(lock)
+    os.unlink(lock)
+    # garbled lock: fresh -> kept; old -> reclaimable
+    with open(lock, "w") as f:
+        f.write("not-a-pid")
+    assert not cat._lock_is_stale(lock)
+    os.utime(lock, (1.0, 1.0))
+    assert cat._lock_is_stale(lock)
+    os.unlink(lock)
 
 
 def test_expire_snapshots(spark, tmp_path):

@@ -317,3 +317,73 @@ def test_simhash_banding_pigeonhole(spark):
     # old fixed-width behavior is preserved at the default budget:
     # 4 bands of 16 bits
     assert D._band_bounds(64, 4) == [(0, 16), (16, 16), (32, 16), (48, 16)]
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing an 8-gram with the benchmark are flagged; clean
+    docs are not; counts are per-distinct-shingle."""
+    from bertseyeview_spark.operators.dedup import decontaminate
+
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words {bench_sent} trailing tail here"),  # hit
+            (2, "totally clean document with no benchmark overlap at all ok"),
+            (3, bench_sent),                                      # exact hit
+            (4, "short doc"),                                     # <8 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_sent,)], ["text"])
+    got = {
+        r["id"]: (r["n_hit_shingles"], r["contaminated"])
+        for r in decontaminate(docs, "doc_id", "text", bench, "text", n=8).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (1, True)
+    assert got[4] == (0, False)
+    assert len(got) == 4
+
+
+def test_lm_perplexity_vs_python(spark):
+    """Bigram add-alpha perplexity matches an exact python oracle."""
+    import math
+    from collections import Counter
+
+    from bertseyeview_spark.operators.textquality import lm_perplexity
+
+    texts = {
+        1: "a b a b c",
+        2: "a b c a b",
+        3: "c c a",
+        4: "solo",  # 1 token -> no bigrams -> absent from output
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    toks = {i: t.split() for i, t in texts.items()}
+    c2 = Counter()
+    c1 = Counter()
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for x, y in zip(t, t[1:]):
+            c2[(x, y)] += 1
+            c1[x] += 1
+    a, v = 0.1, len(vocab)
+    exp = {}
+    for i, t in toks.items():
+        bgs = list(zip(t, t[1:]))
+        if not bgs:
+            continue
+        lp = [math.log((c2[bg] + a) / (c1[bg[0]] + a * v)) for bg in bgs]
+        exp[i] = (len(bgs), round(math.exp(-sum(lp) / len(lp)), 6))
+    got = {
+        r["id"]: (r["n_bigrams"], r["ppl"])
+        for r in lm_perplexity(docs, "doc_id", "text", alpha=0.1).collect()
+    }
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-6

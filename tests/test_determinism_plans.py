@@ -143,13 +143,15 @@ def test_node_properties_search_plan_pruning(spark, sf_dir):
         assert "lang" not in line, f"unpruned scan: {line[:200]}"
 
 
-def test_bm25_no_full_corpus_explode_plan(spark):
-    """BM25 must never explode the whole corpus token stream: every
-    Generate in the plan explodes the query-FILTERED array (qw), corpus
-    stats come from size(w) with no explode, and document frequency is
-    derived from the tf aggregate rather than a second tokenize pass.
-    (The printed tree may repeat the shared qw subtree once per
-    consumer branch — what matters is that no branch explodes w.)"""
+def test_bm25_codegen_term_filter_plan(spark):
+    """BM25's query-term restriction must be a codegen In/InSet filter
+    fused with the explode — NOT an interpreted higher-order
+    ``F.filter`` lambda (ArrayFilter), the measured ~6x penalty on
+    corpus-scale scans. The exploded tokens die inside the generating
+    WholeStageCodegen stage, so only query-matching tokens reach the
+    shuffle; corpus stats still come from size(w) with no explode, and
+    document frequency is derived from the tf aggregate rather than a
+    second tokenize pass."""
     from bertseyeview_spark.operators.retrieval import bm25_search
 
     docs = spark.createDataFrame(
@@ -158,9 +160,8 @@ def test_bm25_no_full_corpus_explode_plan(spark):
     )
     df = bm25_search(docs, "doc_id", "text", ["spark", "join"], top_n=5)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    n_generate = plan.count("Generate explode")
-    n_filtered = plan.count("Generate explode(qw")
-    assert n_generate > 0 and n_generate == n_filtered, (
-        f"unfiltered corpus explode in plan: {n_generate} explodes, "
-        f"{n_filtered} over the filtered array"
-    )
+    # no interpreted HOF anywhere in the scorer
+    assert "ArrayFilter" not in plan and "lambdafunction" not in plan.lower()
+    # the explode exists and the term filter is a plain In/InSet predicate
+    assert "Generate explode" in plan
+    assert "term" in plan and (" IN " in plan or "INSET" in plan.upper())

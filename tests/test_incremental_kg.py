@@ -201,3 +201,54 @@ def test_stream_kg_maintenance_matches_full_rebuild(spark, tmp_path):
     assert _triples(pipe) != boot
     # corpus snapshot reflects the merge: 60 urls, recrawls updated
     assert cat.read_table("pages").count() == 60
+
+
+def test_stream_batch_duplicate_url_latest_crawl_wins(spark, tmp_path):
+    """A micro-batch with two crawls of the same url must upsert the
+    LATEST (by warc_ts) deterministically — dropDuplicates would keep
+    an arbitrary row, so a post-crash replay could pick a different
+    winner and break the idempotent-replay invariant."""
+    import pandas as pd
+
+    from bertseyeview_spark.streaming.incremental import stream_kg_maintenance
+
+    c1 = generate_corpus(10, seed=3)
+    base = c1.pages
+    url = sorted(base["url"])[0]
+    old = base[base["url"] == url].copy()
+    new = old.copy()
+    old["warc_ts"] = pd.Timestamp("2025-01-01")
+    old["text"] = "stale crawl body"
+    new["warc_ts"] = pd.Timestamp("2025-06-01")
+    # one batch directory holding base + BOTH crawls of `url`
+    batch = pd.concat(
+        [base[base["url"] != url], new, old], ignore_index=True
+    )
+    stream_dir = str(tmp_path / "deltas")
+    pages_to_spark(spark, batch).coalesce(1).write.mode("append").parquet(
+        stream_dir
+    )
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    pipe = KGPipeline(spark, str(tmp_path / "wd"), n_buckets=4, chunk_size=4)
+    stream_kg_maintenance(spark, stream_dir, pipe, cat)
+    rows = cat.read_table("pages").where(f"url = '{url}'").collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] != "stale crawl body"
+    assert str(rows[0]["warc_ts"]).startswith("2025-06-01")
+
+
+def test_run_incremental_null_url_ignored(spark, tmp_path):
+    """A NULL url in the changed-url set must not crash the bucket
+    computation (NULL bucket vs int sort) — it matches no partition and
+    is dropped."""
+    c1 = generate_corpus(12, seed=5)
+    pages = pages_to_spark(spark, c1.pages)
+    pipe = KGPipeline(spark, str(tmp_path / "wd"), n_buckets=4, chunk_size=4)
+    pipe.run_all(pages, fused=True)
+    before = _triples(pipe)
+    changed = spark.createDataFrame(
+        [(None,)], "url string"
+    )
+    out = pipe.run_incremental(pages, changed, fused=True)
+    assert out is not None
+    assert _triples(pipe) == before

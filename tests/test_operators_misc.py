@@ -411,3 +411,24 @@ def test_classifier_scores_vs_python(spark):
         assert got[i][1] == pytest.approx(round(1 / (1 + math.exp(-z)), 6))
         assert got[i][2] == (1 / (1 + math.exp(-z)) >= 0.5)
     assert got[1][2] and not got[2][2]
+
+
+def test_classifier_contentless_docs_never_pass(spark):
+    """With the defaults (bias 0, threshold 0.5) a null/blank-text doc
+    scores exactly sigmoid(0)=0.5; a plain >= gate would wave empty
+    documents through the quality filter — they must fail explicitly,
+    while a real doc of only-unknown tokens (same 0.5 score) passes."""
+    from bertseyeview_spark.operators.classifier import classifier_scores
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, ""), (4, "unknown tokens here")],
+        ["doc_id", "text"],
+    )
+    w = spark.createDataFrame([("spark", 1.0)], "token string, weight double")
+    got = {
+        r["id"]: (r["score"], r["quality_pass"])
+        for r in classifier_scores(docs, w, "doc_id", "text").collect()
+    }
+    assert all(got[i][0] == 0.5 for i in (1, 2, 3, 4))
+    assert not got[1][1] and not got[2][1] and not got[3][1]
+    assert got[4][1]  # content with neutral score still passes >=
