@@ -1362,6 +1362,38 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means over embeddings + within-cluster cosine
+    pruning. Iterative algorithm — no SQL oracle (driver records the
+    rows-only check); correctness is pinned by the numpy-oracle pytest
+    (byte-equal clusters and representatives). The corpus has no
+    natural near-dups (max pairwise cosine 0.51), so like
+    q_embedding_neardup the query plants perturbed copies of
+    vec_id < 20 — each planted/original pair must collapse to one
+    representative (min id in the canonicalizer's string label order),
+    leaving exactly 500 of the 520 rows as representatives."""
+    from bertseyeview_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + 0.0001 * "
+            "CAST((vec_id + i) % 7 - 3 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    return semdedup(
+        emb.unionByName(dups),
+        "vec_id",
+        "embedding",
+        k=8,
+        iterations=3,
+        threshold=0.99,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1449,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver row); graded by tools/check_oracles.py locally
         "decontamination": q_decontamination,
         "lm_perplexity": q_lm_perplexity,
+        "semdedup": q_semdedup,
     }
 
 

@@ -206,3 +206,175 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means clustering + within-cluster semantic pruning
+# ---------------------------------------------------------------------------
+
+def _normalized_expr(col_name: str):
+    """Unit-normalize an array column, written as ONE SQL expression
+    with explicit unique lambda variable names: a Column holding an
+    aggregate/zip_with HOF referenced *inside* another HOF's lambda
+    body can mis-bind its auto-named lambda variables when Catalyst
+    collapses projections (two copies of one expression evaluating
+    differently — observed on the node2vec weighted pick); the single
+    F.expr form with distinct names is immune."""
+    return F.expr(
+        f"transform({col_name}, _kx -> _kx / "
+        f"sqrt(aggregate(zip_with({col_name}, {col_name}, "
+        f"(_ka, _kb) -> _ka * _kb), cast(0.0 as double), "
+        f"(_kacc, _kv) -> _kacc + _kv)))"
+    )
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over unit-normalized
+    embeddings (cosine geometry). Returns (id, cluster).
+
+    Distributed shape (the same as any scalable k-means): each
+    iteration is ONE corpus scan — centroids travel to the data as
+    k*dim broadcast literals inside the assignment expression, and the
+    centroid update is a dim-explode + grouped mean whose output is
+    k*dim rows (tiny, collected to the driver). No corpus-sized state
+    ever leaves the executors; iteration count is FIXED, not
+    convergence-tested, so the plan is static and replayable.
+
+    Determinism: initial centroids are the k smallest-id vectors;
+    centroid components are rounded to 9 decimals each iteration so
+    the 1e-15-scale float-summation-order wobble of the grouped mean
+    (which varies with partitioning) can never leak into assignments —
+    the same input yields byte-identical clusters at any parallelism.
+    Exact assignment ties break toward the lower cluster id.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = (
+        df.select(F.col(id_col).alias("id"), v.alias("_v"))
+        .select("id", _normalized_expr("_v").alias("nv"))
+        .persist()
+    )
+    seeds = [
+        list(r["nv"])
+        for r in base.orderBy("id").limit(k).collect()
+    ]
+    centroids = [[round(x, 9) for x in c] for c in seeds]
+
+    def assign_expr(cents: list[list[float]]):
+        scored = F.array(
+            *[
+                F.struct(
+                    _dot(
+                        F.col("nv"), F.array(*[F.lit(x) for x in c])
+                    ).alias("s"),
+                    F.lit(-ci).alias("negc"),
+                )
+                for ci, c in enumerate(cents)
+            ]
+        )
+        return (-F.array_max(scored)["negc"]).alias("cluster")
+
+    for _ in range(iterations):
+        assigned = base.select("id", "nv", assign_expr(centroids))
+        upd = (
+            assigned.select("cluster", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [
+                round(by_cluster[ci][p], 9)
+                for p in range(len(centroids[ci]))
+            ]
+            if ci in by_cluster
+            else centroids[ci]  # emptied cluster keeps its centroid
+            for ci in range(len(centroids))
+        ]
+    out = base.select("id", assign_expr(centroids)).localCheckpoint(
+        eager=True
+    )
+    base.unpersist(blocking=True)
+    return out
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic deduplication (the published SemDeDup recipe): cluster
+    embeddings with k-means, then inside each cluster drop all but one
+    of every group of near-identical vectors (cosine >= threshold).
+
+    Returns (id, cluster, rep_id, is_rep) for every input row.
+
+    Why clustering first: the exact pair search is quadratic; k-means
+    bounds it to within-cluster pairs — at 100 TB with k sized so
+    clusters fit a partition (k ~ n/1e6), the pair join is an
+    equi-join on cluster with per-cluster quadratic work bounded by
+    the largest cluster, the same candidate-bounding role LSH bands
+    play for MinHash. Representative choice is the minimum id in the
+    canonicalizer's STRING label order over the connected near-dup
+    components (transitive closure, like dedup_representatives), so
+    a~b, b~c collapses to one deterministic survivor.
+    """
+    from .canonicalize import connected_components_auto
+
+    clusters = kmeans_embeddings(df, id_col, vec_col, k, iterations)
+    v = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("id"), v.alias("v")).join(
+        clusters, "id"
+    )
+    a = vecs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster"
+    )
+    b = vecs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    cc = connected_components_auto(
+        df.sparkSession,
+        pairs.select(
+            F.col("id_a").cast("string").alias("a"),
+            F.col("id_b").cast("string").alias("b"),
+        ),
+        fixed_iterations=8,
+    )
+    return (
+        clusters.withColumn("_sid", F.col("id").cast("string"))
+        .join(
+            cc.select(
+                F.col("entity_id").alias("_sid"),
+                F.col("canonical_id").alias("_rep"),
+            ),
+            "_sid",
+            "left",
+        )
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("_rep", F.col("id").cast("string")).alias("rep_id"),
+            (
+                F.coalesce("_rep", F.col("id").cast("string"))
+                == F.col("id").cast("string")
+            ).alias("is_rep"),
+        )
+    )

@@ -387,3 +387,58 @@ def test_lm_perplexity_vs_python(spark):
     for i in exp:
         assert got[i][0] == exp[i][0]
         assert abs(got[i][1] - exp[i][1]) < 1e-6
+
+
+def test_kmeans_semdedup_vs_numpy(spark):
+    """Deterministic Lloyd's matches an exact numpy replica (same init,
+    same rounding), and semdedup keeps one representative per
+    within-cluster near-dup group."""
+    import numpy as np
+
+    from bertseyeview_spark.operators.similarity import (
+        kmeans_embeddings,
+        semdedup,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n, k, iters = 8, 40, 4, 3
+    vecs = rng.standard_normal((n, dim))
+    # plant a near-dup pair: vec 30 ~ vec 31
+    vecs[31] = vecs[30] + 1e-4 * rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # numpy oracle: identical algorithm
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cents = np.round(nv[:k], 9)
+    for _ in range(iters):
+        sims = nv @ cents.T
+        # argmax with min-cluster tie-break == np.argmax (first max)
+        assign = np.argmax(sims, axis=1)
+        new = []
+        for c in range(k):
+            m = nv[assign == c]
+            new.append(
+                np.round(m.mean(axis=0), 9) if len(m) else cents[c]
+            )
+        cents = np.array(new)
+    exp_assign = np.argmax(nv @ cents.T, axis=1)
+
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_embeddings(df, "vec_id", "embedding", k, iters).collect()
+    }
+    assert got == {i: int(exp_assign[i]) for i in range(n)}
+
+    sd = {
+        r["id"]: (r["cluster"], r["rep_id"], r["is_rep"])
+        for r in semdedup(
+            df, "vec_id", "embedding", k=k, iterations=iters, threshold=0.999
+        ).collect()
+    }
+    assert len(sd) == n
+    # the planted near-dup collapses to rep = min id
+    assert sd[30] == (int(exp_assign[30]), "30", True)
+    assert sd[31] == (int(exp_assign[31]), "30", False)
+    # everything else survives as its own representative
+    assert all(sd[i][2] for i in range(n) if i != 31)
