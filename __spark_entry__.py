@@ -1369,9 +1369,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (byte-equal clusters and representatives). The corpus has no
     natural near-dups (max pairwise cosine 0.51), so like
     q_embedding_neardup the query plants perturbed copies of
-    vec_id < 20 — each planted/original pair must collapse to one
-    representative (min id in the canonicalizer's string label order),
-    leaving exactly 500 of the 520 rows as representatives."""
+    vec_id < 20 — the 20 planted copies must collapse onto their
+    originals (rep = numeric min id), leaving exactly the 500
+    originals as representatives."""
     from bertseyeview_spark.operators.similarity import semdedup
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2532,7 +2532,7 @@ hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
 SELECT d.doc_id AS id,
   round({CLS_BIAS} + coalesce(ws, 0.0), 6) AS logit,
   round(1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))), 6) AS score,
-  ((d.text IS NOT NULL AND trim(d.text) <> '')
+  ((d.text IS NOT NULL AND regexp_replace(d.text, '\\s', '', 'g') <> '')
    AND 1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))) >= 0.5)
     AS quality_pass
 FROM documents d LEFT JOIN hits ON d.doc_id = hits.id

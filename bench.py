@@ -61,7 +61,11 @@ HEADLINE = [
 
 # production-shaped NER depth: must match the scaling evidence
 # (BENCH/BASELINE.md drives the deterministic scorer at depth 96 so the
-# per-mention compute resembles a real model head)
+# per-mention compute resembles a real model head). When the caller
+# pins a depth via BENCH_KG_NER_LAYERS (tools/bench_scaling.py does),
+# ONLY that depth runs and it IS the headline — otherwise the scaling
+# harness's depth parameter would be silently ignored and every rep
+# would pay an unrequested second build.
 PROD_NER_LAYERS = 96
 
 
@@ -70,6 +74,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_pages = int(os.environ.get("BENCH_KG_PAGES", "20000"))
     reps = max(1, int(os.environ.get("BENCH_REPS", "2")))
+    ner_env = os.environ.get("BENCH_KG_NER_LAYERS")
+    headline_depth = int(ner_env) if ner_env is not None else PROD_NER_LAYERS
+    kg_depths = (
+        [(headline_depth, f"ner{headline_depth}")]
+        if ner_env is not None
+        else [(PROD_NER_LAYERS, "ner96"), (0, "ner0")]
+    )
     # sentences per page: "lo,hi" — the compute-density knob (heavy pages
     # make the scaling runs compute-dominant, like real web documents)
     sent_lo, sent_hi = (
@@ -105,7 +116,7 @@ def main() -> None:
         warm_pages = pages_to_spark(
             spark, generate_corpus(500, seed=1), num_partitions=cpus
         )
-        for depth in (0, PROD_NER_LAYERS):
+        for depth, _ in kg_depths:
             build(spark, warm_pages, ner_scorer_layers=depth).write.format(
                 "noop"
             ).mode("overwrite").save()
@@ -115,17 +126,17 @@ def main() -> None:
     kg_extras: dict[str, float | int] = {}
     triples_hash = None
     n_triples = 0
-    # depth 96 first — it is the headline "kg_construct" timing (the
+    # headline depth first — it is the "kg_construct" timing (the
     # production-shaped number the north rule cites); depth 0 is the
     # pipeline-overhead companion, labeled separately in extras
-    for depth, label in ((PROD_NER_LAYERS, "ner96"), (0, "ner0")):
+    for depth, label in kg_depths:
         t0 = time.time()
         triples = build(spark, pages, ner_scorer_layers=depth).persist()
         n = triples.count()
         sec = time.time() - t0
         kg_extras[f"kg_sec_{label}"] = round(sec, 3)
         kg_extras[f"kg_triples_per_sec_{label}"] = round(n / sec, 1)
-        if depth == PROD_NER_LAYERS:
+        if depth == headline_depth:
             timings["kg_construct"] = round(sec, 3)
             medians["kg_construct"] = round(sec, 3)
             n_triples = n
@@ -177,10 +188,10 @@ def main() -> None:
                     "kg_pages": n_pages,
                     "kg_triples": n_triples,
                     "kg_triples_per_sec": kg_extras[
-                        "kg_triples_per_sec_ner96"
+                        f"kg_triples_per_sec_ner{headline_depth}"
                     ],
                     "kg_triples_hash": triples_hash,
-                    "kg_ner_layers": PROD_NER_LAYERS,
+                    "kg_ner_layers": headline_depth,
                     **kg_extras,
                     "queries_median": medians,
                     "bench_reps": reps,

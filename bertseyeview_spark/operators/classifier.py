@@ -48,8 +48,11 @@ def classifier_scores(
     hits = toks.join(F.broadcast(weights), "token").groupBy("id").agg(
         F.sum("weight").alias("w_sum")
     )
-    has_text = (
-        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != F.lit(""))
+    # regexp strip, not trim(): trim removes only ASCII spaces, so a
+    # tab/newline-only document would still count as "has text" and
+    # default-pass at score exactly 0.5
+    has_text = F.col(text_col).isNotNull() & (
+        F.regexp_replace(F.col(text_col), r"\s", "") != F.lit("")
     )
     ids = docs.select(F.col(id_col).alias("id"), has_text.alias("_has_text"))
     logit = F.lit(float(bias)) + F.coalesce(F.col("w_sum"), F.lit(0.0))

@@ -708,29 +708,57 @@ def decontaminate(
 
     Scale plan: the benchmark suite is tiny relative to the corpus, so
     its distinct shingles BROADCAST and the corpus side is scanned
-    exactly once — shingle generation, the broadcast hash probe, and
-    the pre-shuffle partial count all fuse into one codegen stage; the
-    only exchange carries (id, partial_count) for documents that hit.
-    No corpus-side shuffle keyed on shingle ever happens, so benchmark
-    skew (a common phrase in many eval questions) cannot hotspot. For
-    a benchmark too large to broadcast, drop the hint and the same
-    plan degrades gracefully to a shuffle semi-join.
+    exactly once. The corpus shingles are generated WITHOUT any
+    per-document dedup exchange (``shingle_table``'s dropDuplicates
+    would shuffle the entire corpus shingle stream — the dominant cost
+    at 100 TB): the raw zipped-slice explode stays codegen, the
+    broadcast hash probe filters to HIT rows immediately, and
+    per-document distinctness is recovered by ``count_distinct`` over
+    only those hit rows — so shingle generation, the probe, and the
+    partial distinct aggregation fuse into one codegen stage and the
+    only exchange carries (id, partial distinct set) for documents
+    that hit. No corpus-side shuffle keyed on shingle ever happens, so
+    benchmark skew (a common phrase in many eval questions) cannot
+    hotspot. For a benchmark too large to broadcast, drop the hint and
+    the same plan degrades gracefully to a shuffle semi-join.
     """
+
+    def raw_shingles(src: DataFrame, idc: str, txt: str) -> DataFrame:
+        toks = F.split(F.trim(F.lower(F.col(txt))), r"\s+")
+        m = F.size("_t") - F.lit(n - 1)
+        return (
+            src.select(F.col(idc).alias("id"), toks.alias("_t"))
+            .where(F.size("_t") >= n)
+            .select(
+                "id",
+                F.explode(
+                    F.arrays_zip(
+                        *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
+                    )
+                ).alias("_z"),
+            )
+            .select(
+                "id",
+                F.concat_ws(
+                    " ", *[F.col("_z")[str(k)] for k in range(n)]
+                ).alias("shingle"),
+            )
+        )
+
     bench_sh = (
-        shingle_table(
+        raw_shingles(
             benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
             "_bid",
             bench_text_col,
-            n,
         )
         .select("shingle")
         .distinct()
     )
-    corpus_sh = shingle_table(docs, id_col, text_col, n)
+    corpus_sh = raw_shingles(docs, id_col, text_col)
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hit_shingles"))
+        .agg(F.count_distinct("shingle").alias("n_hit_shingles"))
     )
     ids = docs.select(F.col(id_col).alias("id"))
     return ids.join(hits, "id", "left").select(

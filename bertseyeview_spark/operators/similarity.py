@@ -219,12 +219,22 @@ def _normalized_expr(col_name: str):
     body can mis-bind its auto-named lambda variables when Catalyst
     collapses projections (two copies of one expression evaluating
     differently — observed on the node2vec weighted pick); the single
-    F.expr form with distinct names is immune."""
-    return F.expr(
-        f"transform({col_name}, _kx -> _kx / "
+    F.expr form with distinct names is immune.
+
+    An all-zero vector normalizes to itself (norm guarded with CASE):
+    under this build's default ANSI mode a bare x/0 would throw
+    DIVIDE_BY_ZERO and abort the whole job on one empty-document
+    embedding; a zero vector instead keeps dot 0 with every centroid
+    (deterministic lowest-cluster tie) and can never pass a cosine
+    near-dup threshold."""
+    norm = (
         f"sqrt(aggregate(zip_with({col_name}, {col_name}, "
         f"(_ka, _kb) -> _ka * _kb), cast(0.0 as double), "
-        f"(_kacc, _kv) -> _kacc + _kv)))"
+        f"(_kacc, _kv) -> _kacc + _kv))"
+    )
+    return F.expr(
+        f"transform({col_name}, _kx -> "
+        f"CASE WHEN {norm} = 0.0d THEN 0.0d ELSE _kx / {norm} END)"
     )
 
 
@@ -325,28 +335,36 @@ def semdedup(
     clusters fit a partition (k ~ n/1e6), the pair join is an
     equi-join on cluster with per-cluster quadratic work bounded by
     the largest cluster, the same candidate-bounding role LSH bands
-    play for MinHash. Representative choice is the minimum id in the
-    canonicalizer's STRING label order over the connected near-dup
-    components (transitive closure, like dedup_representatives), so
-    a~b, b~c collapses to one deterministic survivor.
+    play for MinHash. The canonicalizer's connected components give
+    the transitive near-dup groups (a~b, b~c is one group), and the
+    representative is the NUMERIC minimum id within each group (its
+    original type, matching exact_dedup), never the string-order label
+    the canonicalizer itself uses internally.
+
+    The pair stage scores cosine as a dot product of the unit-
+    normalized vectors — division-free, so an all-zero embedding gets
+    similarity 0 with everything instead of throwing DIVIDE_BY_ZERO
+    under this build's default ANSI mode.
     """
     from .canonicalize import connected_components_auto
 
     clusters = kmeans_embeddings(df, id_col, vec_col, k, iterations)
     v = F.col(vec_col).cast("array<double>")
-    vecs = df.select(F.col(id_col).alias("id"), v.alias("v")).join(
-        clusters, "id"
+    vecs = (
+        df.select(F.col(id_col).alias("id"), v.alias("_v"))
+        .select("id", _normalized_expr("_v").alias("nv"))
+        .join(clusters, "id")
     )
     a = vecs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "cluster"
+        F.col("id").alias("id_a"), F.col("nv").alias("va"), "cluster"
     )
     b = vecs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "cluster"
+        F.col("id").alias("id_b"), F.col("nv").alias("vb"), "cluster"
     )
     pairs = (
         a.join(b, "cluster")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine_expr(F.col("va"), F.col("vb")))
+        .withColumn("cos_sim", _dot(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b")
     )
@@ -358,23 +376,25 @@ def semdedup(
         ),
         fixed_iterations=8,
     )
+    comp = clusters.withColumn("_sid", F.col("id").cast("string")).join(
+        cc.select(
+            F.col("entity_id").alias("_sid"),
+            F.col("canonical_id").alias("_comp"),
+        ),
+        "_sid",
+        "left",
+    )
+    reps = (
+        comp.where(F.col("_comp").isNotNull())
+        .groupBy("_comp")
+        .agg(F.min("id").alias("_rep"))
+    )
     return (
-        clusters.withColumn("_sid", F.col("id").cast("string"))
-        .join(
-            cc.select(
-                F.col("entity_id").alias("_sid"),
-                F.col("canonical_id").alias("_rep"),
-            ),
-            "_sid",
-            "left",
-        )
+        comp.join(reps, "_comp", "left")
         .select(
             "id",
             "cluster",
-            F.coalesce("_rep", F.col("id").cast("string")).alias("rep_id"),
-            (
-                F.coalesce("_rep", F.col("id").cast("string"))
-                == F.col("id").cast("string")
-            ).alias("is_rep"),
+            F.coalesce("_rep", F.col("id")).alias("rep_id"),
+            (F.coalesce("_rep", F.col("id")) == F.col("id")).alias("is_rep"),
         )
     )

@@ -405,13 +405,16 @@ class KGPipeline:
         """
         import shutil
 
-        # a NULL url would hash to a NULL bucket: sorted() would then
-        # compare None with int (TypeError) and no real partition could
-        # match it anyway — drop nulls before bucketing
+        # NULL urls need no special-casing: xxhash64(NULL) is the
+        # seed constant 42 (verified), so bucket_expr maps a NULL url
+        # to the SAME fixed bucket the stage runners place null-url
+        # pages in — filtering nulls here would silently skip
+        # rebuilding exactly that bucket and break run_all-equivalence
         affected = sorted(
             r["b"]
-            for r in changed_urls.where(F.col("url").isNotNull())
-            .select(bucket_expr("url", self.n_buckets).alias("b"))
+            for r in changed_urls.select(
+                bucket_expr("url", self.n_buckets).alias("b")
+            )
             .distinct()
             .collect()
         )

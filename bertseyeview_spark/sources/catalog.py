@@ -173,13 +173,13 @@ class TableCatalog:
                 # commit until someone removes the file by hand. The
                 # lock records its owner pid — if that pid is dead (or
                 # the file is unreadably corrupt AND old) the lock is
-                # reclaimed; unlink+retry races are safe because O_EXCL
-                # lets exactly one reclaimer win the re-create.
-                if self._lock_is_stale(lock):
-                    try:
-                        os.unlink(lock)
-                    except FileNotFoundError:
-                        pass
+                # reclaimed. Judge-then-unlink is NOT atomic, so the
+                # whole judge+unlink runs under a reclaim guard (its
+                # own O_EXCL file): without it, two waiters could both
+                # judge the same dead lock stale, the slower one then
+                # unlinking the LIVE lock the faster one had already
+                # re-created — two writers inside the critical section.
+                if self._try_reclaim(lock):
                     continue
                 time.sleep(0.05)
         if fd is None:
@@ -203,6 +203,42 @@ class TableCatalog:
             os.close(fd)
             os.unlink(lock)
         return new_version
+
+    def _try_reclaim(self, lock: str) -> bool:
+        """Atomically-enough reclaim a stale commit lock: the staleness
+        judgment AND the unlink happen while holding an O_EXCL reclaim
+        guard, so at most one process can act on its judgment at a
+        time — a second waiter whose (pre-guard) judgment was based on
+        the old, now-unlinked file can never remove the live lock a
+        first reclaimer re-created. While a stale lock file exists no
+        new live lock can appear at that path (O_EXCL), so the guarded
+        judgment is race-free. A guard orphaned by a crash mid-reclaim
+        is itself removed after 60s (it is held for microseconds).
+        Returns True if the caller should retry acquiring immediately."""
+        guard = lock + ".reclaim"
+        try:
+            gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(guard) > 60.0:
+                    os.unlink(guard)
+            except OSError:
+                pass
+            return False
+        try:
+            if self._lock_is_stale(lock):
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                return True
+            return False
+        finally:
+            os.close(gfd)
+            try:
+                os.unlink(guard)
+            except FileNotFoundError:
+                pass
 
     @staticmethod
     def _lock_is_stale(lock: str, max_age_sec: float = 600.0) -> bool:

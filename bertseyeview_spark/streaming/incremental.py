@@ -141,11 +141,14 @@ def stream_kg_maintenance(
         # must be DETERMINISTIC or a post-crash replay of the same
         # batch could upsert a different row and break the idempotent-
         # replay invariant (dropDuplicates keeps an arbitrary row).
-        # Latest warc_ts wins (nulls lose); content hash breaks exact
-        # timestamp ties so the pick is stable at any parallelism.
+        # Latest warc_ts wins (nulls lose); a hash over ALL non-key
+        # columns breaks exact timestamp ties so the pick is stable at
+        # any parallelism — hashing only text/html would leave rows
+        # differing in another column (lang) arbitrarily ordered.
+        non_key = [c for c in batch_df.columns if c not in ("url", "warc_ts")]
         w = Window.partitionBy("url").orderBy(
             F.desc_nulls_last("warc_ts"),
-            F.desc(F.xxhash64(F.col("text"), F.col("html"))),
+            F.desc(F.xxhash64(*[F.col(c) for c in non_key])),
         )
         batch = (
             batch_df.withColumn("_rn", F.row_number().over(w))

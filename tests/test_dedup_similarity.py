@@ -405,11 +405,16 @@ def test_kmeans_semdedup_vs_numpy(spark):
     vecs = rng.standard_normal((n, dim))
     # plant a near-dup pair: vec 30 ~ vec 31
     vecs[31] = vecs[30] + 1e-4 * rng.standard_normal(dim)
+    # an all-zero embedding (empty doc) must not abort the job under
+    # ANSI mode: it normalizes to itself, dots 0 with every centroid
+    # (deterministic cluster 0) and can never be a near-dup
+    vecs[39] = 0.0
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    # numpy oracle: identical algorithm
-    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    # numpy oracle: identical algorithm (zero vectors normalize to 0)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    nv = np.divide(vecs, norms, out=np.zeros_like(vecs), where=norms != 0)
     cents = np.round(nv[:k], 9)
     for _ in range(iters):
         sims = nv @ cents.T
@@ -437,8 +442,10 @@ def test_kmeans_semdedup_vs_numpy(spark):
         ).collect()
     }
     assert len(sd) == n
-    # the planted near-dup collapses to rep = min id
-    assert sd[30] == (int(exp_assign[30]), "30", True)
-    assert sd[31] == (int(exp_assign[31]), "30", False)
-    # everything else survives as its own representative
+    # the planted near-dup collapses to rep = NUMERIC min id (id's
+    # original type, not the canonicalizer's string-order label)
+    assert sd[30] == (int(exp_assign[30]), 30, True)
+    assert sd[31] == (int(exp_assign[31]), 30, False)
+    # everything else survives as its own representative (incl. the
+    # zero vector, which can never reach any cosine threshold)
     assert all(sd[i][2] for i in range(n) if i != 31)

@@ -237,18 +237,30 @@ def test_stream_batch_duplicate_url_latest_crawl_wins(spark, tmp_path):
     assert str(rows[0]["warc_ts"]).startswith("2025-06-01")
 
 
-def test_run_incremental_null_url_ignored(spark, tmp_path):
-    """A NULL url in the changed-url set must not crash the bucket
-    computation (NULL bucket vs int sort) — it matches no partition and
-    is dropped."""
+def test_run_incremental_null_url_consistent_bucket(spark, tmp_path):
+    """A NULL url in the changed-url set maps to the fixed bucket
+    pmod(xxhash64(NULL)=42, n) — the same bucket the stage runners
+    place null-url pages in — so the rebuild is consistent (and an
+    unchanged corpus stays byte-identical)."""
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.pipeline import bucket_expr
+
+    # pin the premise: xxhash64(NULL) is a constant, never NULL
+    b = (
+        spark.createDataFrame([(None,)], "url string")
+        .select(bucket_expr("url", 4).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert b == int(
+        spark.range(1).select(F.pmod(F.xxhash64(F.lit(None).cast("string")), F.lit(4))).collect()[0][0]
+    )
     c1 = generate_corpus(12, seed=5)
     pages = pages_to_spark(spark, c1.pages)
     pipe = KGPipeline(spark, str(tmp_path / "wd"), n_buckets=4, chunk_size=4)
     pipe.run_all(pages, fused=True)
     before = _triples(pipe)
-    changed = spark.createDataFrame(
-        [(None,)], "url string"
-    )
+    changed = spark.createDataFrame([(None,)], "url string")
     out = pipe.run_incremental(pages, changed, fused=True)
     assert out is not None
     assert _triples(pipe) == before

@@ -421,7 +421,14 @@ def test_classifier_contentless_docs_never_pass(spark):
     from bertseyeview_spark.operators.classifier import classifier_scores
 
     docs = spark.createDataFrame(
-        [(1, None), (2, "   "), (3, ""), (4, "unknown tokens here")],
+        [
+            (1, None),
+            (2, "   "),
+            (3, ""),
+            (4, "unknown tokens here"),
+            (5, "\t"),      # trim() would NOT strip these — the gate
+            (6, "\n\n "),   # must use a \s regexp, not trim
+        ],
         ["doc_id", "text"],
     )
     w = spark.createDataFrame([("spark", 1.0)], "token string, weight double")
@@ -429,6 +436,6 @@ def test_classifier_contentless_docs_never_pass(spark):
         r["id"]: (r["score"], r["quality_pass"])
         for r in classifier_scores(docs, w, "doc_id", "text").collect()
     }
-    assert all(got[i][0] == 0.5 for i in (1, 2, 3, 4))
-    assert not got[1][1] and not got[2][1] and not got[3][1]
+    assert all(got[i][0] == 0.5 for i in (1, 2, 3, 4, 5, 6))
+    assert not any(got[i][1] for i in (1, 2, 3, 5, 6))
     assert got[4][1]  # content with neutral score still passes >=
