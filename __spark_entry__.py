@@ -438,6 +438,24 @@ def q_embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (k-means coarse quantizer + inverted-list probe +
+    exact re-rank). The synthetic embeddings are isotropic (no cluster
+    structure; max pairwise cosine 0.51), so true neighbours scatter
+    across all lists and recall saturates only at nprobe = n_clusters
+    (measured exact-rank matches at sf0.01: 19/26/35/43/43/50 of 50
+    for nprobe 2,3,4,5,6,8) — the query runs the saturating setting so
+    the output equals brute-force top-k and the oracle is the exact
+    SQL; the sub-saturating regime (nprobe=1 full recall on CLUSTERED
+    data, the real-corpus shape) is pytest-covered."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return SIM.ivf_topk(
+        emb, queries, "vec_id", "embedding",
+        k=10, n_clusters=8, nprobe=8, iterations=3,
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the LSH-banded self-join. The
     corpus has no natural near-dups (max pairwise cosine 0.51), so the
@@ -1482,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination": q_decontamination,
         "lm_perplexity": q_lm_perplexity,
         "semdedup": q_semdedup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
@@ -1923,6 +1942,25 @@ SELECT doc_id AS id,
 FROM documents
 """,
         "embedding_ann_lsh": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id >= 5 AND vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * e.v[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * q.v[i])))
+       * sqrt(list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * e.v[i]))))
+      AS cs
+  FROM q JOIN e ON q.vec_id <> e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cs,
+    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+FROM ranked WHERE rank <= 10
+""",
+        "embedding_ivf_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
 q AS (SELECT vec_id, v FROM e WHERE vec_id >= 5 AND vec_id < 10),
 scored AS (

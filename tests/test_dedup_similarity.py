@@ -449,3 +449,48 @@ def test_kmeans_semdedup_vs_numpy(spark):
     # everything else survives as its own representative (incl. the
     # zero vector, which can never reach any cosine threshold)
     assert all(sd[i][2] for i in range(n) if i != 31)
+
+
+def test_ivf_topk_clustered_full_recall_at_nprobe1(spark):
+    """On data WITH cluster structure (the real-corpus shape) IVF
+    achieves full recall probing a single list: 4 well-separated
+    clusters, queries near the centers -> nprobe=1 equals brute force
+    while scanning ~1/4 of the corpus; and on any data nprobe ==
+    n_clusters degenerates to exact search."""
+    import numpy as np
+
+    from bertseyeview_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, per = 8, 12
+    centers = np.eye(4, dim) * 10.0
+    rows = []
+    for c in range(4):
+        for j in range(per):
+            v = centers[c] + 0.1 * rng.standard_normal(dim)
+            rows.append((c * per + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id % 12 = 0")  # one query per cluster
+
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in brute_force_topk(df, qs, "vec_id", "embedding", k=5).collect()
+    }
+    got1 = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(
+            df, qs, "vec_id", "embedding", k=5, n_clusters=4, nprobe=1
+        ).collect()
+    }
+    assert got1 == exact
+    # saturation: nprobe == n_clusters is exact on ANY data
+    got_all = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(
+            df, qs, "vec_id", "embedding", k=5, n_clusters=4, nprobe=4
+        ).collect()
+    }
+    assert got_all == exact
