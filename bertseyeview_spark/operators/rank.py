@@ -34,6 +34,7 @@ def article_rank(
     damping: float = 0.85,
     iterations: int = 20,
     variant: str = "article_rank",
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """edges(src, dst) [direction src->dst] -> (id, rank).
 
@@ -92,8 +93,12 @@ def article_rank(
             ).alias("rank"),
         )
         # checkpoint every few rounds: enough to keep lineage flat,
-        # without paying a materialization job per iteration
-        if it % 4 == 3 or it == iterations - 1:
+        # without paying a materialization job per iteration. Cadence 5
+        # measured best on the 10-iteration sf0.1 graph (4.44s vs
+        # 4.77s at 4, 5.86s at 2, 4.84s at 10 — too-frequent pays
+        # materialization jobs, too-rare pays deep-unrolled codegen);
+        # output hash identical at every cadence.
+        if it % checkpoint_every == checkpoint_every - 1 or it == iterations - 1:
             ranks = ranks.localCheckpoint()
 
     e.unpersist()
@@ -120,7 +125,7 @@ def personalized_pagerank(
 
     Same scale discipline as article_rank: inv_norm pre-joined onto
     edges once, ONE join + grouped sum per iteration, fixed iteration
-    count, localCheckpoint every 4 rounds. The restart vector rides the
+    count, localCheckpoint every 5 rounds. The restart vector rides the
     vertex table as a column (one broadcast-sized left semi-join up
     front, never per iteration); dangling mass is dropped, matching the
     article_rank convention."""
@@ -174,7 +179,7 @@ def personalized_pagerank(
                 + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))
             ).alias("rank"),
         )
-        if it % 4 == 3 or it == iterations - 1:
+        if it % 5 == 4 or it == iterations - 1:  # cadence measured in article_rank
             ranks = ranks.localCheckpoint()
     e.unpersist()
     vertices.unpersist()
