@@ -1380,6 +1380,25 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixing (mT5/UniMax recipe): keep
+    rates ∝ N_s^0.5 / N_s per source at target volume 0.5, applied as
+    the deterministic portable-hash filter. tau = 0.5 is chosen so the
+    power is a correctly-rounded sqrt — bit-identical between the
+    python rate computation and the SQL oracle's sqrt()."""
+    from bertseyeview_spark.operators.sampling import temperature_resample
+
+    kept = temperature_resample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        key_col="doc_id",
+        temperature=0.5,
+        target_frac=0.5,
+        portable=True,
+    )
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means over embeddings + within-cluster cosine
     pruning. Iterative algorithm — no SQL oracle (driver records the
@@ -1501,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "semdedup": q_semdedup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "temperature_resample": q_temperature_resample,
     }
 
 
@@ -2550,6 +2570,21 @@ SELECT * FROM (VALUES
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
         "personalized_pagerank": ppr_sql,
+        "temperature_resample": """
+WITH cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+tot AS (SELECT sum(n) AS nt, sum(sqrt(n)) AS sw FROM cnt),
+rates AS (
+  SELECT source,
+    round(least(1.0, 0.5 * nt * (sqrt(n) / sw) / n), 9) AS rate
+  FROM cnt CROSS JOIN tot
+)
+SELECT d.source, count(*)::BIGINT AS n_kept
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+        % 1000000
+      < floor(rate * 1000000)::BIGINT
+GROUP BY 1
+""",
         "stratified_sample": """
 SELECT source, count(*) AS n_docs FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))::BIGINT

@@ -89,3 +89,71 @@ def stratified_sample(
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     threshold = threshold if expr is None else expr.otherwise(threshold)
     return df.where(_bucket(F.col(key_col), seed, portable) < threshold)
+
+
+def temperature_rates(
+    df: DataFrame,
+    strata_col: str,
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    max_strata: int = 10_000,
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-based data mixing — the
+    published multilingual/domain rebalancing recipe (mT5/UniMax
+    family): stratum s gets sampling weight N_s^tau / sum_t N_t^tau,
+    so tau < 1 UP-weights rare domains relative to their natural
+    frequency and tau = 1 reproduces it. The expected kept volume is
+    ``target_frac`` of the corpus; per-stratum rates are capped at 1
+    (a rare domain cannot be over-sampled without replacement).
+
+        rate_s = min(1, target_frac * N * w_s / N_s),
+        w_s    = N_s^tau / sum_t N_t^tau
+
+    One grouped count (strata are languages/sources — small), rates
+    computed driver-side in deterministic stratum order and rounded to
+    9 decimals so float summation noise can't flip a bucket threshold;
+    feed the result straight into :func:`stratified_sample` for the
+    deterministic hash filter. Guarded against accidentally passing a
+    high-cardinality column as the stratum (``max_strata``)."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError("target_frac must be in (0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n"))
+    if counts.limit(max_strata + 1).count() > max_strata:
+        raise ValueError(
+            f"more than {max_strata} strata in '{strata_col}' — this is a "
+            "per-domain/language operator; use a coarser stratum column"
+        )
+    rows = sorted(
+        ((r[strata_col], r["n"]) for r in counts.collect()),
+        key=lambda t: str(t[0]),
+    )
+    n_total = float(sum(n for _, n in rows))
+    sw = sum(float(n) ** temperature for _, n in rows)
+    return {
+        s: round(
+            min(1.0, target_frac * n_total * ((float(n) ** temperature) / sw) / n),
+            9,
+        )
+        for s, n in rows
+    }
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    temperature: float = 0.7,
+    target_frac: float = 0.5,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Deterministically resample the corpus to a temperature-flattened
+    domain mix: :func:`temperature_rates` computes the per-stratum keep
+    rates, :func:`stratified_sample` applies them as one codegen'd
+    hash filter — reproducible on any cluster size, on resume, and
+    across reruns, like every sampler in this module."""
+    rates = temperature_rates(df, strata_col, temperature, target_frac)
+    return stratified_sample(
+        df, strata_col, key_col, rates, default_rate=1.0,
+        seed=seed, portable=portable,
+    )

@@ -439,3 +439,54 @@ def test_classifier_contentless_docs_never_pass(spark):
     assert all(got[i][0] == 0.5 for i in (1, 2, 3, 4, 5, 6))
     assert not any(got[i][1] for i in (1, 2, 3, 5, 6))
     assert got[4][1]  # content with neutral score still passes >=
+
+
+def test_temperature_rates_and_resample(spark):
+    """Temperature mixing math vs hand computation: tau<1 up-weights
+    the rare stratum (rate capped at 1), the dominant stratum is
+    down-sampled, and the filter is the deterministic hash decision."""
+    from bertseyeview_spark.operators.sampling import (
+        hash_sample,
+        temperature_rates,
+        temperature_resample,
+    )
+
+    # 900 docs in 'big', 100 in 'small'
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = temperature_rates(df, "source", temperature=0.5, target_frac=0.5)
+    import math
+
+    sw = math.sqrt(900) + math.sqrt(100)
+    exp_big = round(min(1.0, 0.5 * 1000 * (math.sqrt(900) / sw) / 900), 9)
+    exp_small = round(min(1.0, 0.5 * 1000 * (math.sqrt(100) / sw) / 100), 9)
+    assert rates == {"big": exp_big, "small": exp_small}
+    assert exp_small > exp_big  # rare stratum kept at a higher rate
+    assert exp_small == 1.0     # and capped: 0.5*1000*0.25/100 = 1.25 -> 1
+
+    kept = temperature_resample(
+        df, "source", "doc_id", temperature=0.5, target_frac=0.5,
+        portable=True,
+    )
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["small"] == 100  # rate 1.0 keeps everything
+    # the big stratum's kept set IS the hash_sample at its rate
+    expected_big = {
+        r["doc_id"]
+        for r in hash_sample(
+            df.where("source = 'big'"), "doc_id", exp_big, portable=True
+        ).collect()
+    }
+    got_big = {r["doc_id"] for r in kept.where("source = 'big'").collect()}
+    assert got_big == expected_big
+
+
+def test_temperature_rates_strata_guard(spark):
+    from bertseyeview_spark.operators.sampling import temperature_rates
+
+    df = spark.range(100).selectExpr("id AS doc_id", "id AS source")
+    with pytest.raises(ValueError, match="strata"):
+        temperature_rates(df, "source", max_strata=10)
