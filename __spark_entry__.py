@@ -1380,6 +1380,22 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 most frequent tokens via the bounded-shuffle
+    two-phase design (per-partition Misra-Gries candidates + exact
+    recount). With counters=4096 >> vocabulary the MG guarantee is met
+    and the verified fast path returns the provably exact top-k, so
+    the oracle is the plain exact SQL."""
+    from bertseyeview_spark.operators.analytics import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok")
+    )
+    return heavy_hitters(toks, "tok", k=20, counters=4096)
+
+
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened domain mixing (mT5/UniMax recipe): keep
     rates ∝ N_s^0.5 / N_s per source at target volume 0.5, applied as
@@ -1521,6 +1537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
+        "token_heavy_hitters": q_token_heavy_hitters,
     }
 
 
@@ -2570,6 +2587,16 @@ SELECT * FROM (VALUES
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
         "personalized_pagerank": ppr_sql,
+        "token_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS v
+  FROM documents WHERE text IS NOT NULL
+),
+cnt AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
+SELECT v AS value, cnt,
+       row_number() OVER (ORDER BY cnt DESC, v)::INT AS rank
+FROM cnt ORDER BY cnt DESC, v LIMIT 20
+""",
         "temperature_resample": """
 WITH cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
 tot AS (SELECT sum(n) AS nt, sum(sqrt(n)) AS sw FROM cnt),

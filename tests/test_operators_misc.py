@@ -490,3 +490,32 @@ def test_temperature_rates_strata_guard(spark):
     df = spark.range(100).selectExpr("id AS doc_id", "id AS source")
     with pytest.raises(ValueError, match="strata"):
         temperature_rates(df, "source", max_strata=10)
+
+
+def test_heavy_hitters_exact_and_fallback(spark):
+    """MG candidates + exact recount: verified fast path equals the
+    exact top-k on skewed data; with too few counters the guarantee
+    fails at rank k and the exact fallback still returns the right
+    answer."""
+    from bertseyeview_spark.operators.analytics import heavy_hitters
+
+    # skewed: value i appears (40 - i) times, i in 0..39
+    rows = [(f"v{i:02d}",) for i in range(40) for _ in range(40 - i)]
+    df = spark.createDataFrame(rows, ["tok"]).repartition(8)
+    exp = [(f"v{i:02d}", 40 - i, i + 1) for i in range(5)]
+    got = [
+        (r["value"], r["cnt"], r["rank"])
+        for r in heavy_hitters(df, "tok", k=5, counters=1024)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == exp
+    # counters=2: guarantee can't hold at rank 5 -> exact fallback,
+    # answer still correct
+    got_fb = [
+        (r["value"], r["cnt"], r["rank"])
+        for r in heavy_hitters(df, "tok", k=5, counters=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_fb == exp
