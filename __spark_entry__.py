@@ -990,6 +990,19 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(_two_formula_graph(spark, sf_dir), k=3, iterations=6)
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the varied-degree synthetic
+    citation graph; hub cap off (exact semantics, corpus is
+    skew-free) so the oracle replays the full weighted sum."""
+    from bertseyeview_spark.operators.graph import adamic_adar
+
+    return adamic_adar(
+        _two_formula_graph(spark, sf_dir),
+        threshold=1.0,
+        max_neighbor_deg=None,
+    )
+
+
 def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entities = brands, neighbors = the orders that "mention" them —
     # the gds.nodeSimilarity shape over the mention bipartite graph
@@ -1538,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
         "token_heavy_hitters": q_token_heavy_hitters,
+        "adamic_adar": q_adamic_adar,
     }
 
 
@@ -2587,6 +2601,28 @@ SELECT * FROM (VALUES
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
         "personalized_pagerank": ppr_sql,
+        "adamic_adar": """
+WITH e0 AS (
+  SELECT c_custkey::VARCHAR AS a,
+         ((c_custkey * 7919 + 13) % 700)::VARCHAR AS b FROM customer
+  UNION ALL
+  SELECT c_custkey::VARCHAR,
+         ((c_custkey * 104729 + 7) % 1100)::VARCHAR FROM customer
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM e0 WHERE a <> b
+    UNION ALL SELECT b, a FROM e0 WHERE a <> b
+  )
+),
+deg AS (SELECT a AS z, count(*) AS d FROM und GROUP BY 1)
+SELECT x.a AS id_a, y.a AS id_b, round(sum(1.0 / ln(z.d)), 6) AS score
+FROM und x
+JOIN und y ON x.b = y.b AND x.a < y.a
+JOIN deg z ON z.z = x.b
+GROUP BY 1, 2
+HAVING sum(1.0 / ln(z.d)) >= 1.0
+""",
         "token_heavy_hitters": """
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS v

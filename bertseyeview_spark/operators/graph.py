@@ -342,3 +342,77 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return nodes.join(per_node, "id", "left").select(
         "id", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    threshold: float = 0.0,
+    max_neighbor_deg: int | None = 1000,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """Adamic-Adar link prediction over the symmetrized simple graph —
+    the GDS link-prediction family companion
+    (``gds.alpha.linkprediction.adamicAdar``) to
+    :func:`node_similarity`:
+
+        score(x, y) = sum over common neighbors z of 1 / ln(deg(z))
+
+    Rare shared neighbors count more than hubs (the published
+    link-prediction weighting). Returns (id_a < id_b, score) for pairs
+    with score >= threshold; ids compare as strings like every graph
+    operator here. ln(deg(z)) is always positive: a common neighbor of
+    two distinct nodes has degree >= 2 by construction.
+
+    Same candidate-generation discipline as node_similarity: adjacency
+    equi-join on the shared neighbor (never all-pairs), grouped
+    weighted sum with map-side combine, and the same default-on hub
+    guard — a neighbor of degree f yields f^2 candidate rows, so
+    mega-hubs are excluded from the JOIN (scores only under-estimate
+    for hub-mediated pairs, the desired bias; never silent)."""
+    e = edges.select(
+        F.col("src").cast("string").alias("a"),
+        F.col("dst").cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates()
+        .persist()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("d"))
+    # degree-1 nodes can never be a COMMON neighbor of two distinct
+    # nodes, but the weight projection would still evaluate 1/ln(1)
+    # for them (ANSI mode: DIVIDE_BY_ZERO aborts the job) — filter
+    # them out BEFORE the division, which also shrinks the join side
+    w = deg.where(F.col("d") >= 2).select(
+        F.col("a").alias("_z"), (F.lit(1.0) / F.log(F.col("d"))).alias("w"), F.col("d")
+    )
+    joinable = und.select("a", F.col("b").alias("_z"))
+    if max_neighbor_deg is not None:
+        if log_dropped:
+            n_dropped = w.agg(
+                F.sum(
+                    F.when(F.col("d") > max_neighbor_deg, 1).otherwise(0)
+                ).alias("n")
+            ).first()["n"]
+            if n_dropped:
+                print(
+                    f"[adamic_adar] excluded {n_dropped} hub neighbors "
+                    f"with degree > {max_neighbor_deg} from the pair join"
+                )
+        joinable = joinable.join(
+            w.where(F.col("d") <= max_neighbor_deg).select("_z"), "_z", "semi"
+        )
+    x = joinable.select(F.col("a").alias("id_a"), "_z")
+    y = joinable.select(F.col("a").alias("id_b"), "_z")
+    out = (
+        x.join(y, "_z")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(w.select("_z", "w"), "_z")
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("w").alias("_s"))
+        .where(F.col("_s") >= threshold)
+        .select("id_a", "id_b", F.round("_s", 6).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist(blocking=True)
+    return out

@@ -175,3 +175,35 @@ def test_personalized_pagerank_empty_sources_raises(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError, match="non-empty source set"):
         personalized_pagerank(df, spark.createDataFrame([], "id string"))
+
+
+def test_adamic_adar_vs_python(spark):
+    """AA scores on a crafted graph match the textbook formula, incl.
+    the hub cap's under-estimate bias."""
+    import math
+
+    from bertseyeview_spark.operators.graph import adamic_adar
+
+    # z1 connects a-b (deg(z1)=2); hub h connects a,b,c,d (deg 4);
+    # c-d share only the hub
+    edges = [("a", "z1"), ("b", "z1"),
+             ("a", "h"), ("b", "h"), ("c", "h"), ("d", "h")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in adamic_adar(df, threshold=0.0, max_neighbor_deg=None).collect()
+    }
+    w_z1 = 1 / math.log(2)
+    w_h = 1 / math.log(4)
+    assert got[("a", "b")] == pytest.approx(round(w_z1 + w_h, 6))
+    assert got[("c", "d")] == pytest.approx(round(w_h, 6))
+    # every hub-co-neighbor pair exists
+    assert len([p for p in got if "z1" not in p]) >= 6
+    # hub cap 3 removes h from the join: a-b keeps only z1's term,
+    # c-d disappears (under-estimate bias, never over)
+    capped = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in adamic_adar(df, threshold=0.0, max_neighbor_deg=3).collect()
+    }
+    assert capped[("a", "b")] == pytest.approx(round(w_z1, 6))
+    assert ("c", "d") not in capped
