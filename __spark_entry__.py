@@ -1003,6 +1003,15 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA community detection, 4 fixed rounds; oracle is
+    the same algorithm unrolled as a 4-step CTE (VARCHAR label
+    domain matches the operator's string ids)."""
+    from bertseyeview_spark.operators.graph import label_propagation
+
+    return label_propagation(_two_formula_graph(spark, sf_dir), iterations=4)
+
+
 def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entities = brands, neighbors = the orders that "mention" them —
     # the gds.nodeSimilarity shape over the mention bipartite graph
@@ -1552,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "token_heavy_hitters": q_token_heavy_hitters,
         "adamic_adar": q_adamic_adar,
+        "label_propagation": q_label_propagation,
     }
 
 
@@ -1698,6 +1708,37 @@ SELECT src AS id, count(*) AS core_degree FROM e{kc_iters}
 GROUP BY src HAVING count(*) >= {kc_k}"""
     )
     kcore_sql = "".join(kc)
+
+    # ---- label_propagation: graph.label_propagation unrolled to 4
+    # synchronous rounds; VARCHAR ids so the tie order (count desc,
+    # label asc) matches the operator's string label domain
+    lpa_iters = 4
+    lp = [
+        f"""
+WITH eb AS ({two_formula_edges}),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src::VARCHAR AS a, dst::VARCHAR AS b FROM eb
+    UNION ALL SELECT dst::VARCHAR, src::VARCHAR FROM eb)
+  WHERE a <> b),
+l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM und)"""
+    ]
+    for i in range(1, lpa_iters + 1):
+        lp.append(
+            f""",
+c{i} AS (
+  SELECT u.a AS id, l.lbl, count(*) AS c
+  FROM und u JOIN l{i - 1} l ON u.b = l.id
+  GROUP BY 1, 2),
+l{i} AS (
+  SELECT id, lbl FROM (
+    SELECT id, lbl,
+      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+        )
+    lp.append(f"""
+SELECT id, lbl AS community FROM l{lpa_iters}""")
+    lpa_sql = "".join(lp)
 
     # ---- personalized_pagerank: rank.personalized_pagerank unrolled
     # (restart vector 1/5 over ids 1-5; same IEEE-literal discipline)
@@ -2600,6 +2641,7 @@ SELECT * FROM (VALUES
 """,
         "hits_scores": hits_sql,
         "k_core": kcore_sql,
+        "label_propagation": lpa_sql,
         "personalized_pagerank": ppr_sql,
         "adamic_adar": """
 WITH e0 AS (

@@ -416,3 +416,58 @@ def adamic_adar(
     )
     und.unpersist(blocking=True)
     return out
+
+
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection — the GDS
+    family's ``gds.labelPropagation`` analogue. Every node starts in
+    its own community; each round it adopts the most frequent label
+    among its neighbors (tie -> smallest label). Returns
+    (id, community) after a FIXED number of synchronous rounds.
+
+    Determinism at any parallelism: synchronous updates (every round
+    reads only the previous round's labels), integer counts, and a
+    total tie order (count desc, label asc) — no float math, no
+    partition-order dependence. Fixed iterations keep the plan static
+    and the run replayable; synchronous LPA can oscillate on bipartite
+    structure, and a fixed horizon makes that a defined, replayable
+    outcome rather than a nondeterministic stopping race.
+
+    Shape per round: one join (adjacency x labels, both pre-hashed on
+    the same key) + one grouped count (map-side combined) + one
+    per-node top-1 window — all bounded by |E|; localCheckpoint every
+    other round keeps lineage flat."""
+    from pyspark.sql import Window
+
+    e = edges.select(
+        F.col("src").cast("string").alias("a"),
+        F.col("dst").cast("string").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .dropDuplicates()
+        .repartition("b")
+        .persist()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+    for it in range(iterations):
+        msgs = und.join(
+            labels.select(F.col("id").alias("b"), "lbl"), "b"
+        ).select(F.col("a").alias("id"), "lbl")
+        counts = msgs.groupBy("id", "lbl").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "lbl")
+        )
+        if it % 2 == 1 or it == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
+    out = labels.select("id", F.col("lbl").alias("community"))
+    und.unpersist(blocking=True)
+    return out

@@ -207,3 +207,31 @@ def test_adamic_adar_vs_python(spark):
     }
     assert capped[("a", "b")] == pytest.approx(round(w_z1, 6))
     assert ("c", "d") not in capped
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge: LPA converges to one
+    community per clique (min label), bridge notwithstanding; result
+    is identical at different parallelism (synchronous + total tie
+    order)."""
+    from bertseyeview_spark.operators.graph import label_propagation
+
+    def clique(names):
+        return [(x, y) for x in names for y in names if x < y]
+
+    edges = clique(["a1", "a2", "a3", "a4"]) + clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + [("a4", "b1")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(df, iterations=4).collect()
+    }
+    assert {got[f"a{i}"] for i in range(1, 5)} == {"a1"}
+    assert {got[f"b{i}"] for i in range(2, 5)} == {"b1"}
+    # repartitioned input -> identical communities
+    got2 = {
+        r["id"]: r["community"]
+        for r in label_propagation(df.repartition(7), iterations=4).collect()
+    }
+    assert got2 == got
