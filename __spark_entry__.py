@@ -1439,9 +1439,10 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means over embeddings + within-cluster cosine
-    pruning. Iterative algorithm — no SQL oracle (driver records the
-    rows-only check); correctness is pinned by the numpy-oracle pytest
-    (byte-equal clusters and representatives). The corpus has no
+    pruning. The k-means is deterministic (fixed seeds/iterations,
+    9-decimal centroid rounding) so the full algorithm has an unrolled
+    CTE oracle — see oracle_sql(); byte-parity vs an exact numpy
+    Lloyd's replica is additionally pytest-pinned. The corpus has no
     natural near-dups (max pairwise cosine 0.51), so like
     q_embedding_neardup the query plants perturbed copies of
     vec_id < 20 — the 20 planted copies must collapse onto their
@@ -2070,6 +2071,125 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
 FROM ranked WHERE rank <= 10
+""",
+        # semdedup: the k-means is deterministic (seeds = 8 smallest-id
+        # normalized vectors, FIXED 3 iterations, centroid components
+        # rounded to 9 decimals each round) so the whole algorithm
+        # unrolls into a CTE chain — the same technique as the
+        # kg_pagerank 10-iteration and label_propagation 4-round
+        # oracles. c0=seeds, aN=argmax-dot assignment (ties to lower
+        # cluster via the (s, -cluster) struct max), cN=per-dim rounded
+        # mean (emptied cluster keeps its centroid), final assignment
+        # with c3; near-dup pairs are within-cluster dot >= 0.99 on the
+        # unit vectors, components via recursive reachability, rep =
+        # NUMERIC min id per component. DuckDB lambda indexes are
+        # 1-based (Spark's are 0-based), hence the i-1 in the planted
+        # perturbation.
+        "semdedup": """
+WITH RECURSIVE raw AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           (x, i) -> x + 0.0001 * CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 20
+),
+nrm AS (
+  SELECT id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nn FROM raw
+),
+base AS (
+  SELECT id,
+    list_transform(v, x -> CASE WHEN nn = 0.0 THEN 0.0 ELSE x / nn END) AS nv
+  FROM nrm
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster,
+         list_transform(nv, x -> round(x, 9)) AS cv
+  FROM (SELECT id, nv FROM base ORDER BY id LIMIT 8)
+),
+a1 AS (
+  SELECT b.id,
+    -((max(struct_pack(s := list_sum(list_transform(b.nv, (x, i) -> x * c.cv[i])),
+                       negc := -c.cluster))).negc) AS cluster
+  FROM base b CROSS JOIN c0 c GROUP BY b.id
+),
+e1 AS (
+  SELECT a1.cluster,
+         unnest(list_transform(b.nv, (x, i) -> {'pos': i, 'x': x})) AS u
+  FROM a1 JOIN base b USING (id)
+),
+g1 AS (
+  SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+    SELECT cluster, u.pos AS pos, round(avg(u.x), 9) AS m FROM e1 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+c1 AS (
+  SELECT c0.cluster, CASE WHEN g1.cv IS NULL THEN c0.cv ELSE g1.cv END AS cv
+  FROM c0 LEFT JOIN g1 USING (cluster)
+),
+a2 AS (
+  SELECT b.id,
+    -((max(struct_pack(s := list_sum(list_transform(b.nv, (x, i) -> x * c.cv[i])),
+                       negc := -c.cluster))).negc) AS cluster
+  FROM base b CROSS JOIN c1 c GROUP BY b.id
+),
+e2 AS (
+  SELECT a2.cluster,
+         unnest(list_transform(b.nv, (x, i) -> {'pos': i, 'x': x})) AS u
+  FROM a2 JOIN base b USING (id)
+),
+g2 AS (
+  SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+    SELECT cluster, u.pos AS pos, round(avg(u.x), 9) AS m FROM e2 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+c2 AS (
+  SELECT c1.cluster, CASE WHEN g2.cv IS NULL THEN c1.cv ELSE g2.cv END AS cv
+  FROM c1 LEFT JOIN g2 USING (cluster)
+),
+a3 AS (
+  SELECT b.id,
+    -((max(struct_pack(s := list_sum(list_transform(b.nv, (x, i) -> x * c.cv[i])),
+                       negc := -c.cluster))).negc) AS cluster
+  FROM base b CROSS JOIN c2 c GROUP BY b.id
+),
+e3 AS (
+  SELECT a3.cluster,
+         unnest(list_transform(b.nv, (x, i) -> {'pos': i, 'x': x})) AS u
+  FROM a3 JOIN base b USING (id)
+),
+g3 AS (
+  SELECT cluster, list(m ORDER BY pos) AS cv FROM (
+    SELECT cluster, u.pos AS pos, round(avg(u.x), 9) AS m FROM e3 GROUP BY 1, 2
+  ) GROUP BY 1
+),
+c3 AS (
+  SELECT c2.cluster, CASE WHEN g3.cv IS NULL THEN c2.cv ELSE g3.cv END AS cv
+  FROM c2 LEFT JOIN g3 USING (cluster)
+),
+af AS (
+  SELECT b.id,
+    -((max(struct_pack(s := list_sum(list_transform(b.nv, (x, i) -> x * c.cv[i])),
+                       negc := -c.cluster))).negc) AS cluster
+  FROM base b CROSS JOIN c3 c GROUP BY b.id
+),
+pts AS (SELECT b.id, b.nv, af.cluster FROM base b JOIN af USING (id)),
+prs AS (
+  SELECT x.id AS id_a, y.id AS id_b
+  FROM pts x JOIN pts y ON x.cluster = y.cluster AND x.id < y.id
+  WHERE list_sum(list_transform(x.nv, (p, i) -> p * y.nv[i])) >= 0.99
+),
+und AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+),
+comp AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+SELECT p.id AS id, p.cluster AS cluster,
+       coalesce(comp.rep, p.id) AS rep_id,
+       (coalesce(comp.rep, p.id) = p.id) AS is_rep
+FROM pts p LEFT JOIN comp ON p.id = comp.id
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
