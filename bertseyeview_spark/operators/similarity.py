@@ -406,6 +406,91 @@ def ivf_topk(
     )
 
 
+def _split_oversized(
+    vecs: DataFrame,
+    n_clusters: int,
+    max_cluster_size: int,
+    max_depth: int = 3,
+    sub_iterations: int = 2,
+) -> DataFrame:
+    """Recursively re-split k-means clusters larger than
+    ``max_cluster_size`` (the FAISS big-cluster treatment): each
+    oversized cluster is re-clustered with its own deterministic
+    sub-k-means (seeds = its smallest-id members) into
+    ceil(size/budget) sub-clusters, repeated up to ``max_depth``
+    levels. Input/output schema is (id, nv, cluster); sub-clusters get
+    fresh ids past ``n_clusters`` so ids stay unique.
+
+    Why: the within-cluster pair join downstream is quadratic in the
+    largest cluster, and real (non-isotropic) embeddings routinely
+    produce one runaway cluster — without a guard that single cluster
+    is a scale-killer at 100 TB. The size probe is one k-row grouped
+    count per level; each re-split scans only the oversized cluster's
+    members. A cluster that still exceeds the budget after
+    ``max_depth`` levels (k-means cannot separate near-identical
+    points) is logged and passed through — the exact-duplicate
+    collapse in :func:`semdedup` bounds the identical-vector
+    degenerate case independently.
+    """
+    import math
+
+    next_cluster = n_clusters
+    for depth in range(max_depth):
+        sizes = vecs.groupBy("cluster").count().collect()
+        oversized = sorted(
+            (r["cluster"], r["count"])
+            for r in sizes
+            if r["count"] > max_cluster_size
+        )
+        if not oversized:
+            return vecs
+        vecs = vecs.persist()
+        parts = [
+            vecs.where(
+                ~F.col("cluster").isin([c for c, _ in oversized])
+            )
+        ]
+        made_progress = False
+        for c, sz in oversized:
+            members = vecs.where(F.col("cluster") == c).select("id", "nv")
+            sub_k = max(2, min(int(math.ceil(sz / max_cluster_size)), 64))
+            sub, _ = _kmeans_fit(members, "id", "nv", sub_k, sub_iterations)
+            largest = max(r["count"] for r in sub.groupBy("cluster").count().collect())
+            if largest < sz:
+                made_progress = True
+            parts.append(
+                members.join(sub.withColumnRenamed("cluster", "_sub"), "id")
+                .select(
+                    "id",
+                    "nv",
+                    (F.lit(next_cluster) + F.col("_sub")).alias("cluster"),
+                )
+            )
+            next_cluster += sub_k
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out = out.localCheckpoint(eager=True)
+        vecs.unpersist(blocking=True)
+        vecs = out
+        if not made_progress:
+            break
+    leftover = [
+        (r["cluster"], r["count"])
+        for r in vecs.groupBy("cluster").count().collect()
+        if r["count"] > max_cluster_size
+    ]
+    if leftover:
+        print(
+            f"[semdedup] {len(leftover)} cluster(s) still exceed "
+            f"max_cluster_size={max_cluster_size} after {max_depth} "
+            f"split levels (sizes: {[s for _, s in leftover][:8]}); "
+            "proceeding — identical-vector members are collapsed to "
+            "delegates before the pair join"
+        )
+    return vecs
+
+
 def semdedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -413,6 +498,8 @@ def semdedup(
     k: int = 8,
     iterations: int = 3,
     threshold: float = 0.95,
+    max_cluster_size: int = 10_000,
+    max_split_depth: int = 3,
 ) -> DataFrame:
     """Semantic deduplication (the published SemDeDup recipe): cluster
     embeddings with k-means, then inside each cluster drop all but one
@@ -421,11 +508,27 @@ def semdedup(
     Returns (id, cluster, rep_id, is_rep) for every input row.
 
     Why clustering first: the exact pair search is quadratic; k-means
-    bounds it to within-cluster pairs — at 100 TB with k sized so
-    clusters fit a partition (k ~ n/1e6), the pair join is an
-    equi-join on cluster with per-cluster quadratic work bounded by
-    the largest cluster, the same candidate-bounding role LSH bands
-    play for MinHash. The canonicalizer's connected components give
+    bounds it to within-cluster pairs — the pair join is an equi-join
+    on cluster with per-cluster quadratic work bounded by the largest
+    cluster, the same candidate-bounding role LSH bands play for
+    MinHash. Two default-on guards keep that bound real on skewed
+    data (matching the discipline of the shingle frequency cap /
+    node-similarity hub cap / adamic_adar degree cap):
+
+    * clusters larger than ``max_cluster_size`` are recursively
+      re-split by per-cluster sub-k-means (:func:`_split_oversized`,
+      the FAISS big-cluster treatment) before any pair is generated,
+      so a runaway cluster on real non-isotropic embeddings cannot
+      make the join quadratic in the corpus;
+    * byte-identical unit vectors within a cluster are collapsed to
+      one delegate (window min-id per (cluster, nv)) before the pair
+      join — members attach to their delegate with the identical
+      implied similarity (dot(a, b) == dot(a, a) for bit-equal
+      arrays), so the pair graph and components are exactly those of
+      the naive join while the degenerate all-identical cluster
+      k-means cannot split costs O(n), not O(n^2).
+
+    The canonicalizer's connected components give
     the transitive near-dup groups (a~b, b~c is one group), and the
     representative is the NUMERIC minimum id within each group (its
     original type, matching exact_dedup), never the string-order label
@@ -445,10 +548,25 @@ def semdedup(
         .select("id", _normalized_expr("_v").alias("nv"))
         .join(clusters, "id")
     )
-    a = vecs.select(
+    vecs = _split_oversized(vecs, k, max_cluster_size, max_split_depth)
+    # exact-duplicate collapse: one delegate (min id) per distinct unit
+    # vector per cluster; members pair with their delegate iff the
+    # implied similarity dot(nv, nv) passes — bit-equal arrays give
+    # bit-equal dots, so the component structure matches the naive
+    # all-pairs join exactly while identical vectors cost O(n)
+    tagged = vecs.withColumn(
+        "_did", F.min("id").over(Window.partitionBy("cluster", "nv"))
+    )
+    delegates = tagged.where(F.col("id") == F.col("_did"))
+    member_pairs = (
+        tagged.where(F.col("id") != F.col("_did"))
+        .where(_dot(F.col("nv"), F.col("nv")) >= threshold)
+        .select(F.col("_did").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    a = delegates.select(
         F.col("id").alias("id_a"), F.col("nv").alias("va"), "cluster"
     )
-    b = vecs.select(
+    b = delegates.select(
         F.col("id").alias("id_b"), F.col("nv").alias("vb"), "cluster"
     )
     pairs = (
@@ -457,6 +575,7 @@ def semdedup(
         .withColumn("cos_sim", _dot(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b")
+        .unionByName(member_pairs)
     )
     cc = connected_components_auto(
         df.sparkSession,
@@ -466,7 +585,9 @@ def semdedup(
         ),
         fixed_iterations=8,
     )
-    comp = clusters.withColumn("_sid", F.col("id").cast("string")).join(
+    comp = vecs.select("id", "cluster").withColumn(
+        "_sid", F.col("id").cast("string")
+    ).join(
         cc.select(
             F.col("entity_id").alias("_sid"),
             F.col("canonical_id").alias("_comp"),

@@ -451,6 +451,92 @@ def test_kmeans_semdedup_vs_numpy(spark):
     assert all(sd[i][2] for i in range(n) if i != 31)
 
 
+def test_semdedup_split_oversized_guard(spark):
+    """Cluster-size guard: a single runaway k-means cluster (forced
+    with k=1) holding three well-separated blobs is recursively
+    re-split below the size budget before the quadratic pair join,
+    each sub-cluster lands on one blob, and planted near-dups still
+    collapse to their numeric-min representative."""
+    import numpy as np
+
+    from bertseyeview_spark.operators.similarity import (
+        _split_oversized,
+        semdedup,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n = 8, 90
+    centers = np.eye(3, dim) * 10.0
+    vecs = np.empty((n, dim))
+    for i in range(n):
+        # ids interleave blobs (blob = id % 3) so the deterministic
+        # sub-k-means seeds (smallest ids) span all three blobs
+        vecs[i] = centers[i % 3] + 0.1 * rng.standard_normal(dim)
+    vecs[87] = vecs[84] + 1e-4 * rng.standard_normal(dim)  # near-dup pair
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # direct guard check: one oversized cluster -> sub-clusters under
+    # the budget, each pure (exactly one blob per sub-cluster)
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in nv[i]], 0) for i in range(n)],
+        "id long, nv array<double>, cluster int",
+    )
+    split = _split_oversized(vdf, 1, max_cluster_size=35).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in split:
+        by_cluster.setdefault(r["cluster"], set()).add(r["id"] % 3)
+    assert all(len(blobs) == 1 for blobs in by_cluster.values())
+    sizes = {c: sum(1 for r in split if r["cluster"] == c) for c in by_cluster}
+    assert max(sizes.values()) <= 35 and sum(sizes.values()) == n
+
+    # end-to-end: guard on, near-dup still collapses, everyone else reps
+    sd = {
+        r["id"]: (r["rep_id"], r["is_rep"])
+        for r in semdedup(
+            df, "vec_id", "embedding", k=1, iterations=1,
+            threshold=0.99999, max_cluster_size=35,
+        ).collect()
+    }
+    assert len(sd) == n
+    assert sd[87] == (84, False)
+    assert all(sd[i] == (i, True) for i in range(n) if i != 87)
+
+
+def test_semdedup_identical_vector_cluster_is_linear(spark):
+    """Fully degenerate case: a cluster of byte-identical vectors that
+    NO k-means can split (every dot ties). The guard detects zero
+    split progress and stops; the exact-duplicate collapse then
+    reduces the cluster to ONE delegate, so the pair stage emits O(n)
+    member edges instead of an O(n^2) join, and all copies collapse to
+    the numeric-min representative."""
+    import numpy as np
+
+    from bertseyeview_spark.operators.similarity import semdedup
+
+    dim, n_same = 8, 50
+    same = [1.0, 2.0, 3.0] + [0.0] * (dim - 3)
+    rng = np.random.RandomState(5)
+    rows = [(i, list(same)) for i in range(n_same)] + [
+        (100 + j, [float(x) for x in rng.standard_normal(dim)])
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sd = {
+        r["id"]: (r["rep_id"], r["is_rep"])
+        for r in semdedup(
+            df, "vec_id", "embedding", k=2, iterations=2,
+            threshold=0.99, max_cluster_size=10, max_split_depth=2,
+        ).collect()
+    }
+    assert len(sd) == n_same + 5
+    assert sd[0] == (0, True)
+    assert all(sd[i] == (0, False) for i in range(1, n_same))
+    assert all(sd[100 + j] == (100 + j, True) for j in range(5))
+
+
 def test_ivf_topk_clustered_full_recall_at_nprobe1(spark):
     """On data WITH cluster structure (the real-corpus shape) IVF
     achieves full recall probing a single list: 4 well-separated
