@@ -2785,7 +2785,7 @@ JOIN deg z ON z.z = x.b
 GROUP BY 1, 2
 HAVING sum(1.0 / ln(z.d)) >= 1.0
 """,
-        "token_heavy_hitters": """
+        "token_heavy_hitters": r"""
 WITH toks AS (
   SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS v
   FROM documents WHERE text IS NOT NULL
@@ -2830,7 +2830,7 @@ hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
 SELECT d.doc_id AS id,
   round({CLS_BIAS} + coalesce(ws, 0.0), 6) AS logit,
   round(1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))), 6) AS score,
-  ((d.text IS NOT NULL AND regexp_replace(d.text, '\\s', '', 'g') <> '')
+  ((d.text IS NOT NULL AND regexp_replace(d.text, '[ \\t\\n\\x0B\\f\\r]', '', 'g') <> '')
    AND 1.0 / (1.0 + exp(-({CLS_BIAS} + coalesce(ws, 0.0)))) >= 0.5)
     AS quality_pass
 FROM documents d LEFT JOIN hits ON d.doc_id = hits.id

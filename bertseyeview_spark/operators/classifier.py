@@ -50,9 +50,12 @@ def classifier_scores(
     )
     # regexp strip, not trim(): trim removes only ASCII spaces, so a
     # tab/newline-only document would still count as "has text" and
-    # default-pass at score exactly 0.5
+    # default-pass at score exactly 0.5. The whitespace set is an
+    # explicit class, not \s — Java's \s includes \x0B (vertical tab)
+    # while RE2-family engines exclude it, so a bare \s makes the
+    # "contentless" judgement engine-dependent.
     has_text = F.col(text_col).isNotNull() & (
-        F.regexp_replace(F.col(text_col), r"\s", "") != F.lit("")
+        F.regexp_replace(F.col(text_col), "[ \t\n\x0b\f\r]", "") != F.lit("")
     )
     ids = docs.select(F.col(id_col).alias("id"), has_text.alias("_has_text"))
     logit = F.lit(float(bias)) + F.coalesce(F.col("w_sum"), F.lit(0.0))

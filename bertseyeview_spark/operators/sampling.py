@@ -77,14 +77,24 @@ def stratified_sample(
     compiles to a when/otherwise chain (strata counts are small — a
     handful of languages/sources), so the whole decision stays one
     codegen'd filter; hand a DataFrame-shaped rate table to a broadcast
-    join instead if strata run to thousands."""
+    join instead if strata run to thousands.
+
+    A ``None`` key in ``rates`` is matched null-safely (NULL <=> NULL),
+    so rows with a NULL stratum follow their DEFINED rate instead of
+    silently falling through to ``default_rate`` — the contract
+    :func:`temperature_rates` relies on for corpora with missing
+    source/language values."""
     for v in rates.values():
         if not 0.0 <= v <= 1.0:
             raise ValueError("rates must be in [0, 1]")
     threshold = F.lit(int(default_rate * _BUCKETS))
     expr = None
-    for value, rate in sorted(rates.items()):
-        cond = F.col(strata_col) == value
+    # sort with None first, then by string — None is not orderable
+    # against str, and the chain order must be deterministic
+    for value, rate in sorted(
+        rates.items(), key=lambda t: (t[0] is not None, str(t[0]))
+    ):
+        cond = F.col(strata_col).eqNullSafe(F.lit(value))
         t = F.lit(int(rate * _BUCKETS))
         expr = F.when(cond, t) if expr is None else expr.when(cond, t)
     threshold = threshold if expr is None else expr.otherwise(threshold)
@@ -113,7 +123,9 @@ def temperature_rates(
     computed driver-side in deterministic stratum order and rounded to
     9 decimals so float summation noise can't flip a bucket threshold;
     feed the result straight into :func:`stratified_sample` for the
-    deterministic hash filter. Guarded against accidentally passing a
+    deterministic hash filter. A NULL stratum is a real stratum here
+    (missing source/language): it gets a computed rate under key
+    ``None``, which stratified_sample matches null-safely. Guarded against accidentally passing a
     high-cardinality column as the stratum (``max_strata``)."""
     if not 0.0 < target_frac <= 1.0:
         raise ValueError("target_frac must be in (0, 1]")

@@ -219,9 +219,23 @@ class TableCatalog:
         try:
             gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            # orphan cleanup: unlink only the exact file we judged old.
+            # A bare getmtime-then-unlink lets this waiter delete a
+            # FRESH guard re-created between the two calls (admitting
+            # two reclaimers into the judge+unlink critical section),
+            # so judge via fstat on an open fd and re-stat the path
+            # immediately before the unlink — a swapped (dev, inode)
+            # means someone else already cycled the guard; leave it.
             try:
-                if time.time() - os.path.getmtime(guard) > 60.0:
-                    os.unlink(guard)
+                ofd = os.open(guard, os.O_RDONLY)
+                try:
+                    st = os.fstat(ofd)
+                    if time.time() - st.st_mtime > 60.0:
+                        cur = os.stat(guard)
+                        if (cur.st_dev, cur.st_ino) == (st.st_dev, st.st_ino):
+                            os.unlink(guard)
+                finally:
+                    os.close(ofd)
             except OSError:
                 pass
             return False

@@ -484,6 +484,44 @@ def test_temperature_rates_and_resample(spark):
     assert got_big == expected_big
 
 
+def test_stratified_sample_null_stratum(spark):
+    """A NULL stratum is a defined stratum: a None key in the rate map
+    matches null-safely (not silently default_rate), sorting the chain
+    doesn't crash on None-vs-str, and temperature_resample over data
+    with NULL sources composes end-to-end."""
+    from bertseyeview_spark.operators.sampling import (
+        stratified_sample,
+        temperature_rates,
+        temperature_resample,
+    )
+
+    rows = [(i, None if i % 3 == 0 else "a") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    drop_null = stratified_sample(
+        df, "source", "doc_id", {None: 0.0, "a": 1.0}
+    )
+    assert drop_null.where("source IS NULL").count() == 0
+    assert drop_null.count() == 60
+    keep_null = stratified_sample(
+        df, "source", "doc_id", {None: 1.0, "a": 0.0}
+    )
+    assert keep_null.count() == 30
+    assert keep_null.where("source IS NULL").count() == 30
+
+    rates = temperature_rates(df, "source", temperature=0.5, target_frac=0.5)
+    assert None in rates and rates[None] > 0.0
+    kept = temperature_resample(
+        df, "source", "doc_id", temperature=0.5, target_frac=0.5
+    )
+    # NULL-stratum rows follow their computed rate — identical to
+    # applying the rate map by hand
+    manual = stratified_sample(df, "source", "doc_id", rates)
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in manual.collect()
+    }
+
+
 def test_temperature_rates_strata_guard(spark):
     from bertseyeview_spark.operators.sampling import temperature_rates
 
