@@ -766,3 +766,129 @@ def decontaminate(
         F.coalesce("n_hit_shingles", F.lit(0)).alias("n_hit_shingles"),
         (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring (repeated-span) dedup
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Find maximal token spans that repeat across (or within)
+    documents — the exact-substring family of the "Deduplicating
+    Training Data Makes Language Models Better" recipe, where the
+    published implementation builds a corpus suffix array and removes
+    every >= 50-token substring that occurs more than once.
+
+    A suffix array is a single-machine data structure; the
+    distributed shape with the same detection semantics at the window
+    granularity is a fixed-length token-window fingerprint equi-join:
+
+    1. every ``window``-token window of every document becomes one
+       (id, start, fingerprint) row — built with the same
+       codegen-only arrays_zip-of-shifted-slices trick as
+       :func:`shingle_table` (no interpreted HOF on the corpus scan);
+    2. windows whose fingerprint occurs >= ``min_count`` times
+       corpus-wide are flagged (grouped count + equi-join back on the
+       fingerprint; both shuffles key on the fingerprint, and AQE's
+       skew split handles boilerplate fingerprints shared by millions
+       of documents);
+    3. per document, overlapping or adjacent flagged windows merge
+       into maximal spans (gaps-and-islands over a per-doc window —
+       partition size is bounded by document length).
+
+    Fingerprints are 128 effective bits (two independently seeded
+    xxhash64 over the space-joined window), computed JVM-side: at
+    10^12 documents the window count approaches 2^49, where a single
+    64-bit key would already yield billions of birthday collisions;
+    two keys push the expected collision count below 1e-9. Tokens
+    cannot contain whitespace (the tokenizer splits on it), so the
+    space join is injective.
+
+    Returns one row per maximal repeated span:
+    (id, span_start, span_end, n_tokens, n_windows) with 0-based
+    inclusive token positions. Deterministic; documents shorter than
+    ``window`` tokens produce no rows.
+
+    What a user does with it: cut the spans out of the training text
+    (keeping one canonical occurrence), exactly as the reference
+    recipe does — this operator is the detection stage, which is the
+    part that needs the cluster.
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.size("_t") - F.lit(window - 1)
+    wins = (
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= window)
+        .select(
+            "id",
+            F.posexplode(
+                F.arrays_zip(
+                    *[F.slice(F.col("_t"), k + 1, m) for k in range(window)]
+                )
+            ).alias("start", "_z"),
+        )
+        .select(
+            "id",
+            "start",
+            F.concat_ws(
+                " ", *[F.col("_z")[str(k)] for k in range(window)]
+            ).alias("_s"),
+        )
+        .select(
+            "id",
+            "start",
+            F.xxhash64("_s", F.lit(1)).alias("fp1"),
+            F.xxhash64("_s", F.lit(2)).alias("fp2"),
+        )
+    )
+    hot = (
+        wins.groupBy("fp1", "fp2")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_count)
+    )
+    flagged = wins.join(hot, ["fp1", "fp2"]).select(
+        "id", "start", (F.col("start") + F.lit(window - 1)).alias("end")
+    )
+    byid = Window.partitionBy("id").orderBy("start")
+    prev_end = F.max("end").over(
+        byid.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        flagged.withColumn(
+            "_brk",
+            (F.col("start") > F.coalesce(prev_end, F.lit(-2)) + F.lit(1))
+            .cast("int"),
+        )
+        .withColumn(
+            "_g",
+            F.sum("_brk").over(
+                byid.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id", "_g")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + F.lit(1)).alias(
+                "n_tokens"
+            ),
+            "n_windows",
+        )
+    )
+    return spans

@@ -40,6 +40,45 @@ def test_exact_dedup(spark, docs):
     assert 1 not in out  # min-id is the representative
 
 
+def test_exact_substring_spans_planted(spark):
+    """Planted cross-document and within-document repeated token runs
+    come back as maximal merged spans with exact 0-based positions;
+    unique windows and sub-window-length docs produce nothing."""
+    rows = [
+        # docs 0 and 1 share the 8-token run "a b c d e f g h"
+        (0, "a b c d e f g h i j"),
+        (1, "p q a b c d e f g h r s"),
+        # doc 2 repeats "m n o p" at token offsets 0 and 7 (within-doc)
+        (2, "m n o p z y x m n o p"),
+        (3, "u v w"),  # shorter than the window -> no rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id"], r["span_start"]): (
+            r["span_end"], r["n_tokens"], r["n_windows"]
+        )
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    assert got == {
+        # shared run: window starts 0..4 (doc 0) / 2..6 (doc 1) merge
+        (0, 0): (7, 8, 5),
+        (1, 2): (9, 8, 5),
+        # within-doc repeat: two disjoint spans, one window each
+        (2, 0): (3, 4, 1),
+        (2, 7): (10, 4, 1),
+    }
+
+    # raising min_count above the occurrence count silences everything
+    assert (
+        D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=3
+        ).count()
+        == 0
+    )
+
+
 def test_ngram_jaccard_vs_python(spark, docs):
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
