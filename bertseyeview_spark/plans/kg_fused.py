@@ -44,7 +44,7 @@ from ..datagen import (
 from ..operators import canonicalize as canon
 from ..operators import graph as G
 from ..operators.extract import extract_one
-from ..operators.mentions import NeuralTypeScorer, _compile_matcher, tag_text
+from ..operators.mentions import _compile_matcher, get_scorer, tag_text
 from ..operators.triples import DEFAULT_PATTERNS, normalize_patterns
 
 _KEYWORDS_DEFAULT = ["therapy", "biomarker", "clinical trial", "prognosis"]
@@ -209,7 +209,7 @@ def construct_triples_fused(
         cfg = bc.value
         matcher = _compile_matcher(cfg["aliases"])
         scorer = (
-            NeuralTypeScorer(cfg["ner_layers"]) if cfg["ner_layers"] else None
+            get_scorer(cfg["ner_layers"]) if cfg["ner_layers"] else None
         )
         emb_cache: dict[str, np.ndarray] = {}
         for pdf in batches:
