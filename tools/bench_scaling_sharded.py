@@ -67,7 +67,9 @@ def prepare_corpus(pages: int, sent_lo: int = 14, sent_hi: int = 22) -> str:
     return path
 
 
-def run_config(corpus_path: str, n_workers: int, ner_layers: int) -> dict:
+def run_config(
+    corpus_path: str, n_workers: int, ner_layers: int, passes: int = 1
+) -> dict:
     per = N_BUCKETS // n_workers
     shard_groups = [
         list(range(i * per, (i + 1) * per)) for i in range(n_workers)
@@ -87,6 +89,7 @@ def run_config(corpus_path: str, n_workers: int, ner_layers: int) -> dict:
                     ",".join(map(str, grp)),
                     str(ner_layers),
                     out,
+                    str(passes),
                 ],
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
@@ -115,18 +118,41 @@ def main() -> int:
     pages = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     ner_layers = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # passes: each worker processes its shard K times (steady-state
+    # throughput; see bench_shard_worker.py). Sized so the slowest
+    # 8-worker wall is >> per-job fixed cost.
+    passes = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    # parallelism levels (lo, hi) with hi = 4*lo. Default 1 -> 4 since
+    # r5: the r5 scorer optimizations made the pipeline ~8x faster per
+    # page, and this host only sustains ~6 full-speed cores (measured:
+    # 32-process sgemm aggregate == ~6x one solo core; beyond ~6 busy
+    # cores per-core CPU throughput dilutes ~2x with zero steal/iowait
+    # — hypervisor SMT/capacity sharing). 2-vs-8 was inside the
+    # capacity region for the slower r3/r4 pipeline; 1-vs-4 is the
+    # level pair inside it for the optimized one. Override with
+    # BEV_SCALE_LEVELS=lo,hi.
+    lo, hi = (
+        int(x) for x in os.environ.get("BEV_SCALE_LEVELS", "1,4").split(",")
+    )
+    assert hi == 4 * lo and N_BUCKETS % hi == 0
     os.makedirs(WORKDIR, exist_ok=True)
     corpus_path = prepare_corpus(pages)
 
     import statistics
 
     best: dict = {}
-    all_runs: dict[int, list[dict]] = {2: [], 8: []}
+    all_runs: dict[int, list[dict]] = {lo: [], hi: []}
     # interleave the two levels (2,8,2,8,...) so slow host-load drift
     # hits both levels symmetrically instead of biasing one
     for _ in range(reps):
-        for n in (2, 8):
-            r = run_config(corpus_path, n, ner_layers)
+        for n in (lo, hi):
+            # equal WALL per level: the hi level gets (hi/lo)x the
+            # passes, so both configurations run for the same duration
+            # and see the same host turbo/throttle profile — a short
+            # run against a long one biases the ratio (observed 1.25
+            # "efficiency" when the lo run was 4x longer and sagged
+            # into sustained-throttle while the hi run rode burst)
+            r = run_config(corpus_path, n, ner_layers, passes * (n // lo))
             r["throughput"] = r["pages"] / r["wall"]
             all_runs[n].append(r)
             if n not in best or r["throughput"] > best[n]["throughput"]:
@@ -134,10 +160,10 @@ def main() -> int:
             print(json.dumps(r), flush=True)
     med = {
         n: statistics.median(r["throughput"] for r in all_runs[n])
-        for n in (2, 8)
+        for n in (lo, hi)
     }
-    eff_median = med[8] / (4 * med[2])
-    eff_best = best[8]["throughput"] / (4 * best[2]["throughput"])
+    eff_median = med[hi] / (4 * med[lo])
+    eff_best = best[hi]["throughput"] / (4 * best[lo]["throughput"])
     # PAIRED efficiency: the 2- and 8-worker runs of one rep execute
     # back-to-back, so they see the same host phase; the ratio within a
     # rep cancels the shared-VM throttling that a cross-rep ratio of
@@ -145,7 +171,7 @@ def main() -> int:
     # minutes timescale — see the raw throughput series). The median of
     # per-rep paired efficiencies is the primary scaling statistic.
     paired = [
-        all_runs[8][i]["throughput"] / (4 * all_runs[2][i]["throughput"])
+        all_runs[hi][i]["throughput"] / (4 * all_runs[lo][i]["throughput"])
         for i in range(reps)
     ]
     eff_paired_median = statistics.median(paired)
@@ -159,18 +185,20 @@ def main() -> int:
         "pages": pages,
         "ner_layers": ner_layers,
         "reps_per_level": reps,
+        "passes_per_worker": passes,
         "throughputs": {
             str(n): [round(r["throughput"], 1) for r in all_runs[n]]
-            for n in (2, 8)
+            for n in (lo, hi)
         },
-        "median_throughput": {str(n): round(med[n], 1) for n in (2, 8)},
+        "median_throughput": {str(n): round(med[n], 1) for n in (lo, hi)},
+        "levels": [lo, hi],
         "best": {str(k): v for k, v in best.items()},
-        "efficiency_2_to_8_workers_paired_median": round(
+        "efficiency_N_to_4N_paired_median": round(
             eff_paired_median, 3
         ),
         "paired_efficiencies": [round(e, 3) for e in paired],
-        "efficiency_2_to_8_workers_median": round(eff_median, 3),
-        "efficiency_2_to_8_workers_best": round(eff_best, 3),
+        "efficiency_N_to_4N_median": round(eff_median, 3),
+        "efficiency_N_to_4N_best": round(eff_best, 3),
         "output_identical_all_reps": identical,
     }
     print(json.dumps(summary), flush=True)
