@@ -47,6 +47,8 @@ QUERIES = [
     ("lm_perplexity", "bigram counts as grouped aggs; context table broadcast (kills unigram key skew); scoring = one composite-key shuffle join"),
     ("embedding_ivf_topk", "IVF: centroids as broadcast literals; probe rows broadcast against the cluster equi-join — each query touches ~nprobe/n_clusters of the corpus, no query-dependent corpus shuffle"),
     ("temperature_resample", "domain-mix rates compiled to ONE codegen'd when/otherwise hash filter over the scan — no shuffle; the grouped count that derived the rates is a separate tiny job"),
+    ("exact_substring_dedup", "codegen arrays_zip window build + dual-seed xxhash64 fingerprints; both shuffles key on the fingerprint (AQE skew-split covers boilerplate keys); per-doc gaps-and-islands window bounded by doc length"),
+    ("semdedup", "k-means centroids as broadcast literals (one scan/iteration); size-guarded cluster equi-join for pairs; delegate collapse via (cluster, nv) window"),
 ]
 
 
