@@ -1440,9 +1440,13 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means over embeddings + within-cluster cosine
     pruning. The k-means is deterministic (fixed seeds/iterations,
-    9-decimal centroid rounding) so the full algorithm has an unrolled
-    CTE oracle — see oracle_sql(); byte-parity vs an exact numpy
-    Lloyd's replica is additionally pytest-pinned. The corpus has no
+    9-decimal centroid rounding) so the algorithm has an unrolled CTE
+    oracle — see oracle_sql(). The oracle replays the UNguarded
+    algorithm, which is exact here: the 520-row input sits far below
+    the default max_cluster_size=10000, so the oversized-cluster
+    re-split (whose straddling-pair recall trade is documented at the
+    operator) never fires. Byte-parity vs an exact numpy Lloyd's
+    replica is additionally pytest-pinned. The corpus has no
     natural near-dups (max pairwise cosine 0.51), so like
     q_embedding_neardup the query plants perturbed copies of
     vec_id < 20 — the 20 planted copies must collapse onto their
@@ -1616,7 +1620,7 @@ def oracle_sql() -> dict[str, str]:
 
     jaccard_cte = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2254,7 +2258,7 @@ FROM documents GROUP BY source
         # string ids, so the comparison is lexicographic on both sides)
         "dedup_representatives": """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2394,7 +2398,7 @@ WITH RECURSIVE lg AS (
 w0 AS (
   SELECT id, text,
     CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w,
+         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w,
     (CASE {lang_case} ELSE 'und' END) = 'en' AS lang_ok
   FROM lg
 ),
@@ -2427,7 +2431,7 @@ sh AS (
   SELECT id, unnest(list_distinct(
     list_transform(range(1, greatest(len(t) - 1, 1)),
                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-  FROM (SELECT id, string_split_regex(trim(lower(text)), '\\s+') t
+  FROM (SELECT id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t
         FROM surv) s
   WHERE len(t) >= 3
 ),
@@ -2465,8 +2469,8 @@ FROM gates g LEFT JOIN dup ON g.id = dup.id
         "bm25_search": """
 WITH toks AS (
   SELECT doc_id AS id,
-    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term,
-    len(string_split_regex(trim(lower(text)), '\\s+')) AS dl
+    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term,
+    len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS dl
   FROM documents
 ),
 per_doc AS (SELECT id, any_value(dl) AS dl FROM toks GROUP BY id),
@@ -2491,7 +2495,7 @@ FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 25
 WITH w0 AS (
   SELECT doc_id AS id,
     CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS w
+         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
   FROM documents
 ),
 b AS (
@@ -2643,22 +2647,22 @@ FROM (SELECT doc_id, {lang_cols}, {lang_max} AS m FROM documents)
 SELECT doc_id,
   length(text) AS n_chars,
   (CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+        ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
     AS n_bpe_tokens,
   round(CASE WHEN length(text) > 0
         THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
         ELSE 0 END, 6) AS punct_ratio,
   round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\\s+')) END) > 0
+             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
         THEN length(text) * 1.0 / (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\\s+')) END)
+             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END)
         ELSE 0 END, 4) AS mean_word_len,
   round(({stop_sum}) * 1.0 / {len(TQ.STOPWORDS_EN)}, 4) AS stopword_presence,
   round(
     0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
     + 0.25 * (CASE WHEN (length(text) * 1.0 / nullif((CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\\s+')) END), 0))
+             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END), 0))
              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
     + 0.25 * (1 - least((CASE WHEN length(text) > 0
         THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
@@ -2670,7 +2674,7 @@ FROM documents
         "token_counts_by_source": """
 SELECT source,
   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+      ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
     AS total_tokens,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
     AS BIGINT) AS total_bpe_tokens
@@ -2812,7 +2816,7 @@ HAVING sum(1.0 / ln(z.d)) >= 1.0
 """,
         "token_heavy_hitters": r"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS v
+  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS v
   FROM documents WHERE text IS NOT NULL
 ),
 cnt AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
@@ -2826,7 +2830,7 @@ FROM cnt ORDER BY cnt DESC, v LIMIT 20
         # running max of span ends, exactly mirroring the Spark window
         "exact_substring_dedup": r"""
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\s+') AS t
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 win AS (
@@ -2888,7 +2892,7 @@ GROUP BY 1
 WITH w(token, weight) AS (VALUES {", ".join(f"('{t}', {v}::DOUBLE)" for t, v in CLS_WEIGHTS)}),
 toks AS (
   SELECT doc_id AS id,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token
   FROM documents WHERE text IS NOT NULL),
 hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
          GROUP BY id)
@@ -2942,7 +2946,7 @@ SELECT n_nationkey + 100, 'insert' FROM nation WHERE n_nationkey < 5
 """,
         "decontamination": """
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ),
 sh AS (
@@ -2965,7 +2969,7 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
 """,
         "lm_perplexity": """
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ),
 bg AS (

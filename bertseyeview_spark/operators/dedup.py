@@ -84,36 +84,53 @@ def word_ngrams(text_col, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    out_col: str = "shingle",
+    with_pos: bool = False,
+) -> DataFrame:
+    """Codegen-only (id[, start], n-token-window-string) rows — the ONE
+    window builder behind :func:`shingle_table`, :func:`decontaminate`,
+    and :func:`exact_substring_spans` (a tokenizer fix lands once, not
+    three times). Tokenize on whitespace, zip ``n`` shifted slices of
+    the token array, (pos)explode, concat — no interpreted HOF on the
+    corpus scan (the ``transform``-lambda formulation measured ~6x
+    slower; see :func:`word_ngrams`). ``with_pos`` adds the 0-based
+    window start via ``posexplode``. Documents shorter than ``n``
+    tokens produce no rows."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    m = F.size("_t") - F.lit(n - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t")).where(
+        F.size("_t") >= n
+    )
+    if with_pos:
+        ex = base.select("id", F.posexplode(zipped).alias("start", "_z"))
+        head = ["id", "start"]
+    else:
+        ex = base.select("id", F.explode(zipped).alias("_z"))
+        head = ["id"]
+    return ex.select(
+        *head,
+        F.concat_ws(" ", *[F.col("_z")[str(k)] for k in range(n)]).alias(
+            out_col
+        ),
+    )
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) rows, distinct per doc (set semantics).
 
-    Formulated without higher-order-function lambdas so the whole
-    shingling stays inside WholeStageCodegen: zip n shifted slices of
-    the token array, explode, concat — measured ~6x faster than the
-    ``transform``-lambda version (HOF lambdas run interpreted), which
-    matters because shingling is the dominant scan at corpus scale.
-    Per-doc set semantics come from one (id, shingle) dedup whose
-    map-side combine removes most duplicates before the exchange."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    m = F.size("_t") - F.lit(n - 1)
-    return (
-        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
-        .where(F.size("_t") >= n)
-        .select(
-            "id",
-            F.explode(
-                F.arrays_zip(
-                    *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
-                )
-            ).alias("_z"),
-        )
-        .select(
-            "id",
-            F.concat_ws(
-                " ", *[F.col("_z")[str(k)] for k in range(n)]
-            ).alias("shingle"),
-        )
-        .dropDuplicates(["id", "shingle"])
+    Window build via :func:`_token_windows` (fully codegen); per-doc
+    set semantics come from one (id, shingle) dedup whose map-side
+    combine removes most duplicates before the exchange."""
+    return _token_windows(df, id_col, text_col, n).dropDuplicates(
+        ["id", "shingle"]
     )
 
 
@@ -723,38 +740,19 @@ def decontaminate(
     the same plan degrades gracefully to a shuffle semi-join.
     """
 
-    def raw_shingles(src: DataFrame, idc: str, txt: str) -> DataFrame:
-        toks = F.split(F.trim(F.lower(F.col(txt))), r"\s+")
-        m = F.size("_t") - F.lit(n - 1)
-        return (
-            src.select(F.col(idc).alias("id"), toks.alias("_t"))
-            .where(F.size("_t") >= n)
-            .select(
-                "id",
-                F.explode(
-                    F.arrays_zip(
-                        *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
-                    )
-                ).alias("_z"),
-            )
-            .select(
-                "id",
-                F.concat_ws(
-                    " ", *[F.col("_z")[str(k)] for k in range(n)]
-                ).alias("shingle"),
-            )
-        )
-
     bench_sh = (
-        raw_shingles(
+        _token_windows(
             benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
             "_bid",
             bench_text_col,
+            n,
         )
         .select("shingle")
         .distinct()
     )
-    corpus_sh = raw_shingles(docs, id_col, text_col)
+    # raw windows, deliberately NOT shingle_table: its per-doc
+    # dropDuplicates would shuffle the entire corpus shingle stream
+    corpus_sh = _token_windows(docs, id_col, text_col, n)
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("id")
@@ -824,32 +822,13 @@ def exact_substring_spans(
 
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    m = F.size("_t") - F.lit(window - 1)
-    wins = (
-        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
-        .where(F.size("_t") >= window)
-        .select(
-            "id",
-            F.posexplode(
-                F.arrays_zip(
-                    *[F.slice(F.col("_t"), k + 1, m) for k in range(window)]
-                )
-            ).alias("start", "_z"),
-        )
-        .select(
-            "id",
-            "start",
-            F.concat_ws(
-                " ", *[F.col("_z")[str(k)] for k in range(window)]
-            ).alias("_s"),
-        )
-        .select(
-            "id",
-            "start",
-            F.xxhash64("_s", F.lit(1)).alias("fp1"),
-            F.xxhash64("_s", F.lit(2)).alias("fp2"),
-        )
+    wins = _token_windows(
+        df, id_col, text_col, window, out_col="_s", with_pos=True
+    ).select(
+        "id",
+        "start",
+        F.xxhash64("_s", F.lit(1)).alias("fp1"),
+        F.xxhash64("_s", F.lit(2)).alias("fp2"),
     )
     hot = (
         wins.groupBy("fp1", "fp2")

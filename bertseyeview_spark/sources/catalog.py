@@ -232,7 +232,15 @@ class TableCatalog:
                     st = os.fstat(ofd)
                     if time.time() - st.st_mtime > 60.0:
                         cur = os.stat(guard)
-                        if (cur.st_dev, cur.st_ino) == (st.st_dev, st.st_ino):
+                        # (dev, inode, mtime_ns): inode numbers can be
+                        # recycled by the filesystem, but a recycled
+                        # inode with a nanosecond-identical mtime AND a
+                        # >60s age is not a freshly created guard
+                        if (
+                            cur.st_dev,
+                            cur.st_ino,
+                            cur.st_mtime_ns,
+                        ) == (st.st_dev, st.st_ino, st.st_mtime_ns):
                             os.unlink(guard)
                 finally:
                     os.close(ofd)

@@ -1,23 +1,31 @@
-"""Process-isolated N -> 4N scaling evidence (BENCH/BASELINE.md §3b).
+"""Process-isolated N -> 4N scaling evidence (BENCH/BASELINE.md).
 
 The single-JVM harness (tools/bench_scaling.py) hits this sandbox VM's
-shared memory-bandwidth ceiling above ~8 Spark threads, so it measures
-2-vs-8 threads. This harness sidesteps the ceiling the way a real
-cluster does — separate processes: the same fixed corpus is split into
-8 disjoint url-hash buckets, and N independent single-core Spark
-processes (own JVM each) process disjoint shard groups concurrently.
+shared memory-bandwidth ceiling above ~8 Spark threads. This harness
+sidesteps the ceiling the way a real cluster does — separate
+processes: the same fixed corpus is split into 8 disjoint url-hash
+buckets, and N independent single-core Spark processes (own JVM each)
+process disjoint shard groups concurrently.
 
-  N=2 workers x 4 buckets each   vs   N=8 workers x 1 bucket each
+Levels default to N=1 vs 4N=4 workers since round 5 (see the long
+comment in main(): the r5 scorer speedups pushed 2-vs-8 outside this
+host's ~6-core sustained capacity); override with BEV_SCALE_LEVELS.
+Each worker processes its shard ``passes`` times as ONE timed unioned
+job after an untimed warmup (steady-state walls; bench_shard_worker.py
+documents why), with the hi level given (hi/lo)x the passes so both
+levels run equal wall under the same host turbo/throttle phase.
 
-efficiency = throughput(8 workers) / (4 * throughput(2 workers)),
-throughput = total_pages / max(worker wall) per configuration.
+efficiency = throughput(4N) / (4 * throughput(N)),
+throughput = total pages processed / max(worker timed wall).
 
 Output identity across configurations is asserted on the page-local
-triple multiset (count + sum of per-row xxhash64): shards partition
-pages and the fused plan dedups per (edge, origin page), so the
-multiset is sharding-invariant.
+per-pass triple multiset (count + sum of per-row xxhash64): shards
+partition pages and the fused plan dedups per (edge, origin page), so
+the multiset is sharding-invariant.
 
-Usage: python tools/bench_scaling_sharded.py [pages] [ner_layers] [reps]
+Usage: python tools/bench_scaling_sharded.py [pages] [ner_layers] [reps] [passes]
+(r5 evidence used: 20000 96 1 6, five times, pooled — see
+BENCH/scaling_sharded_r5.json)
 """
 
 from __future__ import annotations
@@ -142,8 +150,8 @@ def main() -> int:
 
     best: dict = {}
     all_runs: dict[int, list[dict]] = {lo: [], hi: []}
-    # interleave the two levels (2,8,2,8,...) so slow host-load drift
-    # hits both levels symmetrically instead of biasing one
+    # interleave the two levels (lo,hi,lo,hi,...) so slow host-load
+    # drift hits both levels symmetrically instead of biasing one
     for _ in range(reps):
         for n in (lo, hi):
             # equal WALL per level: the hi level gets (hi/lo)x the
