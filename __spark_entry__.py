@@ -1491,6 +1491,21 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal stage completing the exact-substring recipe: every
+    repeated 8-token occurrence is cut except the canonical
+    (minimal (id, start)) copy, with canonical windows protected from
+    overlapping cuts. Returns the cleaned normalized token stream per
+    document plus cut accounting — at sf0.01 the natural phrase
+    repeats cut ~1.3k tokens across ~24 documents."""
+    from bertseyeview_spark.operators.dedup import cut_repeated_spans
+
+    return cut_repeated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        window=8, min_count=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1539,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new/changed this round --
         "semdedup": q_semdedup,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "substring_cut": q_substring_cut,
         # -- r04-green, operators touched this round first --
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
@@ -1564,9 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "host_profile": q_host_profile,
         "snapshot_diff": q_snapshot_diff,
-        "url_canonical_dedup": q_url_canonical_dedup,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r04 driver row and rotates back in next round
+        "url_canonical_dedup": q_url_canonical_dedup,
         "dictionary_mention_topk": q_dictionary_mention_topk,
         "label_abundance": q_label_abundance,
         "label_abundance_two_groups": q_label_abundance_two_groups,
@@ -2863,6 +2879,73 @@ SELECT id, min(strt)::INT AS span_start, max(e)::INT AS span_end,
        (max(e) - min(strt) + 1)::INT AS n_tokens,
        count(*)::BIGINT AS n_windows
 FROM grp GROUP BY id, g
+""",
+        # substring_cut: same flag stage on raw window strings, then
+        # canonical pick (row_number over fingerprint ordered by
+        # (id, start)), SEPARATE gaps-and-islands for canonical vs
+        # non-canonical windows (mirrors the two _merge_islands calls),
+        # and the cut applied with DuckDB's 1-based index lambda
+        # (Spark's positions are 0-based, hence the _i - 1)
+        "substring_cut": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+  FROM documents
+),
+win AS (
+  SELECT id, t, unnest(generate_series(1, len(t) - 8 + 1)) AS i
+  FROM toks WHERE len(t) >= 8
+),
+w2 AS (
+  SELECT id, i - 1 AS strt, i + 6 AS e,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS s
+  FROM win
+),
+hot AS (SELECT s FROM w2 GROUP BY s HAVING count(*) >= 2),
+flagged AS (
+  SELECT w2.id, w2.strt, w2.e,
+         (row_number() OVER (PARTITION BY w2.s ORDER BY w2.id, w2.strt)) = 1 AS canon
+  FROM w2 JOIN hot USING (s)
+),
+isl AS (
+  SELECT id, strt, e, canon,
+    CASE WHEN strt > coalesce(max(e) OVER (
+        PARTITION BY id, canon ORDER BY strt
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+      THEN 1 ELSE 0 END AS brk
+  FROM flagged
+),
+grp AS (
+  SELECT *, sum(brk) OVER (
+    PARTITION BY id, canon ORDER BY strt ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+spans AS (
+  SELECT id, canon, min(strt) AS s0, max(e) AS e0
+  FROM grp GROUP BY id, canon, g
+),
+cuts AS (SELECT id, list({'s': s0, 'e': e0}) AS cl FROM spans WHERE NOT canon GROUP BY id),
+keeps AS (SELECT id, list({'s': s0, 'e': e0}) AS kl FROM spans WHERE canon GROUP BY id),
+merged AS (
+  SELECT tk.id, tk.t,
+    coalesce(c.cl, []::STRUCT(s BIGINT, e BIGINT)[]) AS cl,
+    coalesce(k.kl, []::STRUCT(s BIGINT, e BIGINT)[]) AS kl
+  FROM toks tk LEFT JOIN cuts c USING (id) LEFT JOIN keeps k USING (id)
+),
+kept AS (
+  SELECT id, t,
+    list_filter(t, (_x, _i) -> NOT (
+      len(list_filter(cl, _r -> _i - 1 BETWEEN _r.s AND _r.e)) > 0
+      AND NOT len(list_filter(kl, _r2 -> _i - 1 BETWEEN _r2.s AND _r2.e)) > 0
+    )) AS kt
+  FROM merged
+)
+SELECT id,
+       -- a fully-cut document: DuckDB's array_to_string([]) is NULL,
+       -- Spark's array_join([]) is '' — pin the Spark semantics
+       coalesce(array_to_string(kt, ' '), '') AS clean_text,
+       len(t)::INT AS n_tokens, (len(t) - len(kt))::INT AS n_tokens_cut
+FROM kept
 """,
         "temperature_resample": """
 WITH cnt AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),

@@ -818,8 +818,17 @@ def exact_substring_spans(
     recipe does — this operator is the detection stage, which is the
     part that needs the cluster.
     """
-    from pyspark.sql import Window
+    flagged = _flagged_windows(df, id_col, text_col, window, min_count)
+    return _merge_islands(flagged.select("id", "start", "end"))
 
+
+def _flagged_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int, min_count: int
+) -> DataFrame:
+    """(id, start, end, fp1, fp2) for every ``window``-token window
+    whose 128-bit fingerprint occurs >= ``min_count`` times corpus-wide
+    — the shared flag stage of :func:`exact_substring_spans` and
+    :func:`cut_repeated_spans`."""
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
     wins = _token_windows(
@@ -834,15 +843,29 @@ def exact_substring_spans(
         wins.groupBy("fp1", "fp2")
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") >= min_count)
+        .select("fp1", "fp2")
     )
-    flagged = wins.join(hot, ["fp1", "fp2"]).select(
-        "id", "start", (F.col("start") + F.lit(window - 1)).alias("end")
+    return wins.join(hot, ["fp1", "fp2"]).select(
+        "id",
+        "start",
+        (F.col("start") + F.lit(window - 1)).alias("end"),
+        "fp1",
+        "fp2",
     )
+
+
+def _merge_islands(flagged: DataFrame) -> DataFrame:
+    """Merge overlapping/adjacent (id, start, end) windows into maximal
+    spans: gaps-and-islands over a per-doc window (partition size is
+    bounded by document length). Returns
+    (id, span_start, span_end, n_tokens, n_windows)."""
+    from pyspark.sql import Window
+
     byid = Window.partitionBy("id").orderBy("start")
     prev_end = F.max("end").over(
         byid.rowsBetween(Window.unboundedPreceding, -1)
     )
-    spans = (
+    return (
         flagged.withColumn(
             "_brk",
             (F.col("start") > F.coalesce(prev_end, F.lit(-2)) + F.lit(1))
@@ -870,4 +893,94 @@ def exact_substring_spans(
             "n_windows",
         )
     )
-    return spans
+
+
+def cut_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """The REMOVAL stage completing the exact-substring recipe: every
+    repeated ``window``-token occurrence is cut from the corpus except
+    one canonical copy, exactly the "remove all but one occurrence of
+    every duplicated substring" step the published suffix-array
+    implementation applies after detection.
+
+    Canonical choice is deterministic: per fingerprint, the occurrence
+    with the smallest (id, start) survives. Tokens covered only by
+    NON-canonical flagged windows are cut; tokens inside a canonical
+    window are protected, so the surviving copy is never clipped by an
+    overlapping duplicate of a different fingerprint.
+
+    Returns (id, clean_text, n_tokens, n_tokens_cut) for EVERY input
+    document (unflagged documents pass through with 0 cut).
+    ``clean_text`` is the space-joined remaining tokens of the
+    NORMALIZED text (lowercased, whitespace-collapsed) — the same
+    token stream every operator in this module works on; cutting from
+    the raw byte text would need byte-offset bookkeeping the token
+    pipeline deliberately discards.
+
+    Scale shape: flag + canonical-pick shuffles key on the fingerprint
+    (AQE skew-split covers boilerplate); the cut itself is a per-doc
+    broadcast of that doc's OWN ranges (grouped collect_list bounded
+    by doc length) applied as one higher-order filter over the token
+    array — linear, no corpus-wide state. The HOF runs interpreted,
+    but this is the output-materialization stage, not a hot inner
+    join; its cost is one pass over the kept tokens.
+    """
+    from pyspark.sql import Window
+
+    flagged = _flagged_windows(df, id_col, text_col, window, min_count)
+    # canonical occurrence per fingerprint = min (id, start)
+    canon_first = F.row_number().over(
+        Window.partitionBy("fp1", "fp2").orderBy("id", "start")
+    )
+    marked = flagged.withColumn("_is_canon", canon_first == 1)
+    cut_ranges = (
+        _merge_islands(
+            marked.where(~F.col("_is_canon")).select("id", "start", "end")
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+        )
+    )
+    keep_ranges = (
+        _merge_islands(
+            marked.where(F.col("_is_canon")).select("id", "start", "end")
+        )
+        .groupBy("id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_keeps")
+        )
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    joined = (
+        base.join(cut_ranges, "id", "left")
+        .join(keep_ranges, "id", "left")
+        .withColumn("_cuts", F.coalesce("_cuts", F.array()))
+        .withColumn("_keeps", F.coalesce("_keeps", F.array()))
+    )
+    # one F.expr with unique explicit lambda names: nested HOFs built
+    # as composed Columns can mis-bind auto-named lambda variables
+    # when Catalyst collapses projections (see _normalized_expr in
+    # similarity.py / the node2vec round-2 incident)
+    kept = F.expr(
+        "transform("
+        "  filter(zip_with(_t, sequence(0, size(_t) - 1),"
+        "                  (_ctok, _cpos) -> named_struct('tok', _ctok, 'pos', _cpos)),"
+        "         _cs -> NOT ("
+        "            exists(_cuts,  _cr -> _cs.pos >= _cr.span_start AND _cs.pos <= _cr.span_end)"
+        "            AND NOT exists(_keeps, _ckr -> _cs.pos >= _ckr.span_start AND _cs.pos <= _ckr.span_end)"
+        "         )),"
+        "  _cx -> _cx.tok)"
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_t").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).alias("n_tokens_cut"),
+    )

@@ -79,6 +79,34 @@ def test_exact_substring_spans_planted(spark):
     )
 
 
+def test_cut_repeated_spans_planted(spark):
+    """Removal stage: per repeated fingerprint the minimal (id, start)
+    occurrence survives; every other occurrence is cut; canonical
+    windows are protected from overlapping cuts; untouched and
+    sub-window docs pass through with 0 cut."""
+    rows = [
+        (0, "a b c d e f g h i j"),      # canonical home of the run
+        (1, "p q a b c d e f g h r s"),  # cross-doc copy -> cut
+        (2, "m n o p z y x m n o p"),    # within-doc repeat -> 2nd cut
+        (3, "u v w"),                    # shorter than window
+        (4, "only unique words appear in this document here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_cut"])
+        for r in D.cut_repeated_spans(
+            df, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    assert got == {
+        0: ("a b c d e f g h i j", 10, 0),      # canonical survives whole
+        1: ("p q r s", 12, 8),                  # copied run removed
+        2: ("m n o p z y x", 11, 4),            # second occurrence removed
+        3: ("u v w", 3, 0),
+        4: ("only unique words appear in this document here", 8, 0),
+    }
+
+
 def test_ngram_jaccard_vs_python(spark, docs):
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
