@@ -1491,6 +1491,32 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher repetition table (dup-line fracs, top-2/3/4-gram
+    char mass, dup-5..10-gram char mass). The corpus has no newlines,
+    so docs with doc_id % 5 == 0 get two injected duplicate boilerplate
+    lines (the pii_redaction planting pattern) to exercise the line
+    signals; every ratio is exact-int-sum / exact-int-sum -> one IEEE
+    division, bit-identical across engines with no rounding."""
+    from bertseyeview_spark.operators.textquality import repetition_signals
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    "\nrepeated boilerplate line\nrepeated boilerplate line"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_signals(docs, "doc_id", "text")
+
+
 def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal stage completing the exact-substring recipe: every
     repeated 8-token occurrence is cut except the canonical
@@ -1555,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "exact_substring_dedup": q_exact_substring_dedup,
         "substring_cut": q_substring_cut,
+        "repetition_signals": q_repetition_signals,
         # -- r04-green, operators touched this round first --
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
@@ -1579,9 +1606,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "pii_redaction": q_pii_redaction,
         "host_profile": q_host_profile,
-        "snapshot_diff": q_snapshot_diff,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r04 driver row and rotates back in next round
+        "snapshot_diff": q_snapshot_diff,
         "url_canonical_dedup": q_url_canonical_dedup,
         "dictionary_mention_topk": q_dictionary_mention_topk,
         "label_abundance": q_label_abundance,
@@ -1654,6 +1681,83 @@ SELECT id_a, id_b, round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
 FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
 WHERE c * 1.0 / (sa.sz + sb.sz - c) >= {thr}
 """
+
+    # ---- repetition_signals: one gram CTE pair per n (2-4 top-mass,
+    # 5-10 dup-mass). Every ratio is exact-int-sum / exact-int-sum ->
+    # one IEEE division (bit-identical to Spark, no rounding); the top
+    # n-gram is max of the named struct {'c', 'm'} so equal-frequency
+    # ties resolve by mass in both engines.
+    rep_ctes: list[str] = []
+    rep_cols: list[str] = []
+    for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+        col = (
+            f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+        )
+        if n <= 4:
+            expr = (
+                "(max({'c': cnt, 'm': cnt * length(gram)})).m"
+                " / sum(cnt * length(gram))"
+            )
+        else:
+            expr = (
+                "sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END)"
+                " / sum(cnt * length(gram))"
+            )
+        rep_ctes.append(
+            f"""
+rg{n} AS (
+  SELECT id, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS gram,
+         count(*) AS cnt
+  FROM (SELECT id, t, unnest(generate_series(1, len(t) - {n} + 1)) AS i
+        FROM rtoks WHERE len(t) >= {n})
+  GROUP BY 1, 2
+),
+rs{n} AS (SELECT id, {expr} AS {col} FROM rg{n} GROUP BY id)"""
+        )
+        rep_cols.append(col)
+    rep_joins = "\n".join(
+        f"LEFT JOIN rs{n} ON d.doc_id = rs{n}.id" for n in range(2, 11)
+    )
+    rep_selects = ",\n  ".join(
+        f"coalesce({c}, 0.0) AS {c}" for c in rep_cols
+    )
+    repetition_sql = (
+        r"""
+WITH rbase AS (
+  SELECT doc_id AS id,
+    CASE WHEN doc_id % 5 = 0
+      THEN text || chr(10) || 'repeated boilerplate line'
+                || chr(10) || 'repeated boilerplate line'
+      ELSE text END AS text
+  FROM documents
+),
+rtoks AS (
+  SELECT id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+  FROM rbase
+),
+rlines AS (
+  SELECT id, trim(l) AS line, count(*) AS cnt
+  FROM (SELECT id, unnest(string_split(lower(text), chr(10))) AS l FROM rbase)
+  WHERE trim(l) <> ''
+  GROUP BY 1, 2
+),
+rls AS (
+  SELECT id, sum(cnt - 1) / sum(cnt) AS dup_line_frac,
+         sum((cnt - 1) * length(line)) / sum(cnt * length(line))
+           AS dup_line_char_frac
+  FROM rlines GROUP BY id
+),"""
+        + ",".join(rep_ctes)
+        + f"""
+SELECT d.doc_id AS id,
+  coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+  coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+  {rep_selects}
+FROM documents d
+LEFT JOIN rls ON d.doc_id = rls.id
+{rep_joins}
+"""
+    )
 
     # ---- kg_pagerank: article_rank (rank.py) unrolled to 10 fixed
     # iterations of chained CTEs; literals use the exact repr of the
@@ -2236,6 +2340,7 @@ SELECT p.id AS id, p.cluster AS cluster,
        (coalesce(comp.rep, p.id) = p.id) AS is_rep
 FROM pts p LEFT JOIN comp ON p.id = comp.id
 """,
+        "repetition_signals": repetition_sql,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
         "embedding_neardup": """
@@ -2664,10 +2769,10 @@ SELECT doc_id,
   length(text) AS n_chars,
   (CASE WHEN length(trim(text)) = 0 THEN 0
         ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
     AS n_bpe_tokens,
   round(CASE WHEN length(text) > 0
-        THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+        THEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) * 1.0 / length(text)
         ELSE 0 END, 6) AS punct_ratio,
   round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
@@ -2681,7 +2786,7 @@ SELECT doc_id,
              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END), 0))
              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
     + 0.25 * (1 - least((CASE WHEN length(text) > 0
-        THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0 / length(text)
+        THEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) * 1.0 / length(text)
         ELSE 0 END) * 5, 1.0))
     + 0.25 * least((({stop_sum}) * 1.0 / {len(TQ.STOPWORDS_EN)}) * 2, 1.0)
   , 4) AS quality_score
@@ -2692,7 +2797,7 @@ SELECT source,
   CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
       ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
     AS total_tokens,
-  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')))
     AS BIGINT) AS total_bpe_tokens
 FROM documents GROUP BY source
 """,

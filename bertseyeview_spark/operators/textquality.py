@@ -77,7 +77,7 @@ def whitespace_token_count(text_col: Column) -> Column:
 
 
 # BPE-ish segmentation: letter runs, digit runs, single other non-space
-BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_token_count(text_col: Column) -> Column:
@@ -96,7 +96,7 @@ def quality_features(
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = whitespace_token_count(t)
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w \t\n\x0B\f\r]"))
     padded = _padded(t)
     n_stop = sum(
         F.when(padded.contains(f" {w} "), 1).otherwise(0) for w in STOPWORDS_EN
@@ -484,4 +484,109 @@ def lm_perplexity(
             F.count("*").alias("n_bigrams"),
             F.round(F.exp(-F.avg(logp)), 6).alias("ppl"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full Gopher repetition-filter table per document — the
+    signals the published quality pipeline thresholds to drop
+    self-repetitive pages (:func:`gopher_quality_flags` carries only
+    the top-bigram member of this family):
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — lines (split on
+      newline, lowercased, trimmed, empties dropped) occurring more
+      than once: repeat occurrences over total, unweighted and
+      char-weighted;
+    * ``top_{2,3,4}gram_char_frac`` — character mass of the most
+      frequent word n-gram over total n-gram character mass (mass =
+      count x n-gram length; the top n-gram is the max of
+      (count, mass), so equal-frequency ties resolve to the longer
+      gram deterministically in both engines);
+    * ``dup_{5..10}gram_char_frac`` — character mass of all n-grams
+      occurring at least twice over total n-gram character mass.
+
+    Every numerator/denominator is an exact integer sum; each output
+    is a single IEEE division, so results are bit-identical across
+    engines and partitionings with no rounding step. Documents too
+    short for an n produce 0.0 for that column.
+
+    Scale shape: one tokenize, then per n one codegen window explode +
+    a grouped count keyed (id, gram) — the id in the key spreads hot
+    boilerplate grams across the cluster, and each per-doc stat row is
+    one row per document joined back on id. Linear in corpus tokens
+    per n, like every shingle operator in dedup.py.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+
+    def gram_stats(n: int, prefix: str, top: bool) -> DataFrame:
+        m = F.size("_t") - F.lit(n - 1)
+        z = F.arrays_zip(*[F.slice(F.col("_t"), k + 1, m) for k in range(n)])
+        counts = (
+            base.where(F.size("_t") >= n)
+            .select("id", F.explode(z).alias("_z"))
+            .select(
+                "id",
+                F.concat_ws(
+                    " ", *[F.col("_z")[str(k)] for k in range(n)]
+                ).alias("gram"),
+            )
+            .groupBy("id", "gram")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("mass", F.col("cnt") * F.length("gram"))
+        )
+        agg = counts.groupBy("id")
+        if top:
+            out = agg.agg(
+                (
+                    F.max(F.struct("cnt", "mass"))["mass"]
+                    / F.sum("mass")
+                ).alias(prefix)
+            )
+        else:
+            out = agg.agg(
+                (
+                    F.sum(F.when(F.col("cnt") >= 2, F.col("mass")).otherwise(0))
+                    / F.sum("mass")
+                ).alias(prefix)
+            )
+        return out
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), "\n")).alias("_l"),
+        )
+        .select("id", F.trim("_l").alias("line"))
+        .where(F.col("line") != "")
+        .groupBy("id", "line")
+        .agg(F.count("*").alias("cnt"))
+    )
+    line_stats = lines.groupBy("id").agg(
+        (
+            F.sum(F.col("cnt") - 1) / F.sum("cnt")
+        ).alias("dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("line"))
+            / F.sum(F.col("cnt") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    out = df.select(F.col(id_col).alias("id"))
+    out = out.join(line_stats, "id", "left")
+    cols = ["dup_line_frac", "dup_line_char_frac"]
+    for n in (2, 3, 4):
+        c = f"top_{n}gram_char_frac"
+        out = out.join(gram_stats(n, c, top=True), "id", "left")
+        cols.append(c)
+    for n in range(5, 11):
+        c = f"dup_{n}gram_char_frac"
+        out = out.join(gram_stats(n, c, top=False), "id", "left")
+        cols.append(c)
+    return out.select(
+        "id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in cols]
     )

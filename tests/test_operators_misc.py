@@ -557,3 +557,38 @@ def test_heavy_hitters_exact_and_fallback(spark):
         .collect()
     ]
     assert got_fb == exp
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition table vs hand computation: duplicate-line
+    fractions (plain + char-weighted), top-n-gram char mass with the
+    (count, mass) tie-break, duplicated-n-gram char mass, and the 0.0
+    floor for docs too short for an n."""
+    from bertseyeview_spark.operators.textquality import repetition_signals
+
+    rows = [
+        (0, "x\nx\ny"),
+        (1, "a b a b a b"),
+        (2, "p q r s t u p q r s t u"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r.asDict()
+        for r in repetition_signals(df, "doc_id", "text").collect()
+    }
+    # doc 0: lines x(2), y(1) -> dup 1/3; chars: 1 dup char / 3 chars
+    assert abs(got[0]["dup_line_frac"] - 1 / 3) < 1e-12
+    assert abs(got[0]["dup_line_char_frac"] - 1 / 3) < 1e-12
+    # doc 1: 2-grams "a b"x3 (mass 9), "b a"x2 (mass 6) -> top 9/15
+    assert abs(got[1]["top_2gram_char_frac"] - 9 / 15) < 1e-12
+    # doc 1: 3-grams "a b a"x2, "b a b"x2 -> top (2,10) -> 10/20
+    assert abs(got[1]["top_3gram_char_frac"] - 0.5) < 1e-12
+    # doc 1: 5-grams all unique -> dup 0
+    assert got[1]["dup_5gram_char_frac"] == 0.0
+    # doc 2: 5-grams: 2 grams x2 (mass 18 each dup) of 8 windows x9
+    assert abs(got[2]["dup_5gram_char_frac"] - 36 / 72) < 1e-12
+    # doc 3: too short for everything, single line
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["top_2gram_char_frac"] == 0.0
+    assert got[3]["dup_10gram_char_frac"] == 0.0
