@@ -1517,6 +1517,26 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs, "doc_id", "text")
 
 
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source unweighted shortest hop distances (gds.bfs /
+    shortestPath family) over the synthetic citation graph (the same
+    edge rule motif_two_hop uses), sources = docs 0-2, 8-hop cap.
+    Fixed hop count -> the recursive-CTE oracle replays it exactly."""
+    from bertseyeview_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://d/"), F.col("doc_id").cast("string"))
+    cit = docs.select(
+        url.alias("src"),
+        F.concat(
+            F.lit("https://d/"),
+            ((F.col("doc_id") * 37 + 11) % 500).cast("string"),
+        ).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    sources = docs.where(F.col("doc_id") < 3).select(url.alias("v"))
+    return bfs_distances(cit, sources, max_hops=8)
+
+
 def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal stage completing the exact-substring recipe: every
     repeated 8-token occurrence is cut except the canonical
@@ -1582,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "substring_cut": q_substring_cut,
         "repetition_signals": q_repetition_signals,
+        "bfs_distances": q_bfs_distances,
         # -- r04-green, operators touched this round first --
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
@@ -1605,9 +1626,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "triangle_counts": q_triangle_counts,
         "pii_redaction": q_pii_redaction,
-        "host_profile": q_host_profile,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r04 driver row and rotates back in next round
+        "host_profile": q_host_profile,
         "snapshot_diff": q_snapshot_diff,
         "url_canonical_dedup": q_url_canonical_dedup,
         "dictionary_mention_topk": q_dictionary_mention_topk,
@@ -2341,6 +2362,22 @@ SELECT p.id AS id, p.cluster AS cluster,
 FROM pts p LEFT JOIN comp ON p.id = comp.id
 """,
         "repetition_signals": repetition_sql,
+        # bfs_distances: fixed 8-hop multi-source BFS replayed as a
+        # depth-capped recursive CTE + min-merge (out-degree 1 on the
+        # synthetic citation graph bounds the path fan-out)
+        "bfs_distances": """
+WITH RECURSIVE cit AS (
+  SELECT 'https://d/' || doc_id::VARCHAR AS a,
+         'https://d/' || ((doc_id * 37 + 11) % 500)::VARCHAR AS b
+  FROM documents WHERE doc_id <> (doc_id * 37 + 11) % 500
+),
+walk(id, d) AS (
+  SELECT 'https://d/' || doc_id::VARCHAR, 0 FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT c.b, w.d + 1 FROM walk w JOIN cit c ON c.a = w.id WHERE w.d < 8
+)
+SELECT id, min(d)::INT AS dist FROM walk GROUP BY id
+""",
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
         "embedding_neardup": """

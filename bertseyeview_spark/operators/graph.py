@@ -471,3 +471,54 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
     out = labels.select("id", F.col("lbl").alias("community"))
     und.unpersist(blocking=True)
     return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Unweighted multi-source shortest hop distances over a DIRECTED
+    edge set — the gds.bfs / gds.shortestPath family member (the
+    reference's graph layer exposes Neo4j path procedures; see
+    neo4j_helper.py's GDS call sites).
+
+    ``edges`` is (src, dst); ``sources`` a one-column frame of start
+    vertices. Returns (id, dist) for every vertex reachable within
+    ``max_hops`` (sources at 0; unreachable vertices absent).
+
+    Distributed shape: textbook frontier relaxation — per hop ONE
+    equi-join of the CURRENT frontier (vertices first reached at the
+    previous hop, never the settled set) against the edge list, then a
+    min-merge. Work per hop is proportional to the expanding boundary,
+    not the visited set; hop count is FIXED so the plan is static and
+    an unrolled/recursive SQL oracle can replay it exactly. Lineage is
+    flattened with a localCheckpoint every few hops, the same cadence
+    discipline as article_rank / k_core.
+    """
+    e = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    src_col = sources.columns[0]
+    dist = sources.select(
+        F.col(src_col).alias("id"), F.lit(0).alias("dist")
+    ).distinct()
+    for h in range(1, max_hops + 1):
+        # rename the frontier column before the join: after hop 1 the
+        # dist lineage already contains e, and unaliased refs into a
+        # repeated self-join are ambiguous
+        frontier = dist.where(F.col("dist") == h - 1).select(
+            F.col("id").alias("_fid")
+        )
+        nxt = (
+            frontier.join(e, F.col("_fid") == F.col("src"))
+            .select(F.col("dst").alias("id"), F.lit(h).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if h % 3 == 0:
+            dist = dist.localCheckpoint(eager=True)
+    return dist

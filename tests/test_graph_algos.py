@@ -235,3 +235,33 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(df.repartition(7), iterations=4).collect()
     }
     assert got2 == got
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Multi-source BFS vs hand-walked distances: min over sources,
+    hop cap honored, unreachable vertices absent, duplicate edges and
+    self-loop-free frontier behavior."""
+    from bertseyeview_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+            ("s", "c"),            # shortcut source
+            ("a", "b"),            # duplicate edge
+            ("x", "y"),            # island, unreachable
+        ],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([("a",), ("s",)], ["v"])
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, sources, max_hops=3).collect()
+    }
+    # a:0 s:0 b:1 c:1(via s, not 2 via a) d:2 e:3; x,y unreachable
+    assert got == {"a": 0, "s": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+    # hop cap: with max_hops=2, e is absent
+    got2 = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(edges, sources, max_hops=2).collect()
+    }
+    assert got2 == {"a": 0, "s": 0, "b": 1, "c": 1, "d": 2}

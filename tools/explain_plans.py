@@ -50,6 +50,7 @@ QUERIES = [
     ("exact_substring_dedup", "codegen arrays_zip window build + dual-seed xxhash64 fingerprints; both shuffles key on the fingerprint (AQE skew-split covers boilerplate keys); per-doc gaps-and-islands window bounded by doc length"),
     ("substring_cut", "flag stage shared with exact_substring_dedup; canonical pick = one row_number window over the fingerprint; cut applied as a per-doc HOF filter against that doc's own collected ranges — no corpus-wide state"),
     ("repetition_signals", "per n one codegen window explode + grouped count keyed (id, gram) — id in the key spreads boilerplate grams; per-doc stats join back on id"),
+    ("bfs_distances", "frontier relaxation: per hop ONE frontier-edge equi-join + min-merge; work tracks the expanding boundary, never the settled set"),
     ("semdedup", "k-means centroids as broadcast literals (one scan/iteration); size-guarded cluster equi-join for pairs; delegate collapse via (cluster, nv) window"),
 ]
 
