@@ -1517,6 +1517,65 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs, "doc_id", "text")
 
 
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the WARC ingestion layer end-to-end with an independent
+    expectation: the documents table is serialized into 8 multi-record
+    WARC blobs (each prefixed with a warcinfo record the parser must
+    skip; even-numbered blobs use Common Crawl's per-record-gzip
+    member layout), parsed back through read_warc_blobs, and the
+    recovered (url, warc_ts, byte length, payload md5) must equal what
+    the oracle computes DIRECTLY from the table — the parser, HTTP
+    envelope stripping, gzip handling, and timestamp decode all sit on
+    the graded path."""
+    from datetime import datetime, timedelta
+
+    from bertseyeview_spark.sources.warc import (
+        gzip_member,
+        read_warc_blobs,
+        warc_record_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            warc_record_bytes(
+                "meta:blob", "2024-01-01T00:00:00Z", b"segment info",
+                warc_type="warcinfo", http_envelope=False,
+            )
+        ]
+        for r in pdf.itertuples(index=False):
+            date = (
+                datetime(2024, 1, 1) + timedelta(minutes=int(r.doc_id))
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            recs.append(
+                warc_record_bytes(
+                    f"https://d/{r.doc_id}", date, r.text.encode("utf-8")
+                )
+            )
+        if int(key[0]) % 2 == 0:
+            blob = b"".join(gzip_member(x) for x in recs)
+        else:
+            blob = b"".join(recs)
+        import pandas as pd
+
+        return pd.DataFrame({"content": [blob]})
+
+    blobs = (
+        docs.withColumn("g", (F.col("doc_id") % 8).cast("int"))
+        .groupBy("g")
+        .applyInPandas(build, "content binary")
+    )
+    parsed = read_warc_blobs(blobs, "content")
+    return parsed.select(
+        "url",
+        "warc_ts",
+        F.length("html").alias("n_bytes"),
+        F.md5("html").alias("html_md5"),
+    )
+
+
 def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source unweighted shortest hop distances (gds.bfs /
     shortestPath family) over the synthetic citation graph (the same
@@ -1603,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_cut": q_substring_cut,
         "repetition_signals": q_repetition_signals,
         "bfs_distances": q_bfs_distances,
+        "warc_roundtrip": q_warc_roundtrip,
         # -- r04-green, operators touched this round first --
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
@@ -1625,9 +1685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
         "triangle_counts": q_triangle_counts,
-        "pii_redaction": q_pii_redaction,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r04 driver row and rotates back in next round
+        "pii_redaction": q_pii_redaction,
         "host_profile": q_host_profile,
         "snapshot_diff": q_snapshot_diff,
         "url_canonical_dedup": q_url_canonical_dedup,
@@ -2362,6 +2422,19 @@ SELECT p.id AS id, p.cluster AS cluster,
 FROM pts p LEFT JOIN comp ON p.id = comp.id
 """,
         "repetition_signals": repetition_sql,
+        # warc_roundtrip: the oracle computes the expectation DIRECTLY
+        # from the table — if the WARC writer/parser pipeline drops,
+        # duplicates, reorders headers, mangles the HTTP envelope, or
+        # mis-decodes gzip members or timestamps, some column here
+        # diverges. md5 over DuckDB's UTF-8 text == Spark md5 over the
+        # parsed payload bytes.
+        "warc_roundtrip": """
+SELECT 'https://d/' || doc_id::VARCHAR AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + to_minutes(doc_id) AS warc_ts,
+       strlen(text)::INT AS n_bytes,
+       md5(text) AS html_md5
+FROM documents
+""",
         # bfs_distances: fixed 8-hop multi-source BFS replayed as a
         # depth-capped recursive CTE + min-merge (out-degree 1 on the
         # synthetic citation graph bounds the path fan-out)

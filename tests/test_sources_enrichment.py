@@ -302,3 +302,59 @@ class TestNode2vecBias:
         )
         runs = {r["run"] for r in out.collect()}
         assert runs == {"gen"}  # empty mutation projection skipped
+
+
+class TestWarc:
+    def _recs(self):
+        from bertseyeview_spark.sources.warc import warc_record_bytes
+
+        return [
+            warc_record_bytes(
+                "meta:ignore", "2024-01-01T00:00:00Z", b"crawler info",
+                warc_type="warcinfo", http_envelope=False,
+            ),
+            warc_record_bytes(
+                "https://ex.org/a", "2024-01-01T00:05:00Z", b"<html>A</html>"
+            ),
+            warc_record_bytes(
+                "https://ex.org/b", "2024-01-01T00:06:00Z", b"<html>B</html>"
+            ),
+        ]
+
+    def test_parse_plain_and_gzip_members(self):
+        from bertseyeview_spark.sources.warc import gzip_member, parse_warc
+
+        recs = self._recs()
+        for blob in (
+            b"".join(recs),
+            b"".join(gzip_member(r) for r in recs),
+        ):
+            got = list(parse_warc(blob))
+            # warcinfo skipped; HTTP envelope stripped; ts parsed UTC
+            assert [(r["url"], r["html"]) for r in got] == [
+                ("https://ex.org/a", b"<html>A</html>"),
+                ("https://ex.org/b", b"<html>B</html>"),
+            ]
+            assert got[0]["warc_ts"].minute == 5
+
+    def test_parse_truncated_tail(self):
+        from bertseyeview_spark.sources.warc import parse_warc
+
+        blob = b"".join(self._recs())
+        got = list(parse_warc(blob[: len(blob) - 20]))  # cut last record
+        assert [r["url"] for r in got] == ["https://ex.org/a"]
+
+    def test_read_warc_files(self, spark, tmp_path):
+        from bertseyeview_spark.sources.warc import gzip_member, read_warc
+
+        recs = self._recs()
+        (tmp_path / "seg0.warc").write_bytes(b"".join(recs))
+        (tmp_path / "seg1.warc.gz").write_bytes(
+            b"".join(gzip_member(r) for r in recs)
+        )
+        got = read_warc(spark, str(tmp_path)).collect()
+        assert len(got) == 4  # 2 response records per file
+        assert {r["url"] for r in got} == {
+            "https://ex.org/a", "https://ex.org/b",
+        }
+        assert all(bytes(r["html"]).startswith(b"<html>") for r in got)
