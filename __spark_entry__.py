@@ -1517,6 +1517,19 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(docs, "doc_id", "text")
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token-window chunking (size 16, overlap 4)
+    — zero-shuffle codegen projection + posexplode; the chunk grid is
+    a closed-form function of the token count, replayed exactly by the
+    oracle's generate_series."""
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    return chunk_text(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        size=16, overlap=4,
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the WARC ingestion layer end-to-end with an independent
     expectation: the documents table is serialized into 8 multi-record
@@ -1663,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "bfs_distances": q_bfs_distances,
         "warc_roundtrip": q_warc_roundtrip,
+        "text_chunking": q_text_chunking,
         # -- r04-green, operators touched this round first --
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "temperature_resample": q_temperature_resample,
@@ -1684,9 +1698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
-        "triangle_counts": q_triangle_counts,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r04 driver row and rotates back in next round
+        "triangle_counts": q_triangle_counts,
         "pii_redaction": q_pii_redaction,
         "host_profile": q_host_profile,
         "snapshot_diff": q_snapshot_diff,
@@ -2422,6 +2436,28 @@ SELECT p.id AS id, p.cluster AS cluster,
 FROM pts p LEFT JOIN comp ON p.id = comp.id
 """,
         "repetition_signals": repetition_sql,
+        # text_chunking: the chunk grid is closed-form in the token
+        # count (stride 12, last chunk = first window reaching the
+        # end), so generate_series replays it exactly; slice lengths
+        # clamp identically (list_slice inclusive-1-based == F.slice)
+        "text_chunking": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+  FROM documents
+),
+cnt AS (
+  SELECT id, t,
+    CASE WHEN len(t) > 16 THEN ((len(t) - 16 + 11) // 12) + 1
+         ELSE 1 END AS nc
+  FROM toks
+),
+ex AS (SELECT id, t, unnest(generate_series(0, nc - 1)) AS k FROM cnt)
+SELECT id, k::INT AS chunk_id, (k * 12)::INT AS chunk_start,
+       len(list_slice(t, k * 12 + 1, k * 12 + 16))::INT AS n_chunk_tokens,
+       array_to_string(list_slice(t, k * 12 + 1, k * 12 + 16), ' ') AS chunk_text
+FROM ex
+""",
         # warc_roundtrip: the oracle computes the expectation DIRECTLY
         # from the table — if the WARC writer/parser pipeline drops,
         # duplicates, reorders headers, mangles the HTTP envelope, or

@@ -590,3 +590,70 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.select(
         "id", *[F.coalesce(c, F.lit(0.0)).alias(c) for c in cols]
     )
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (RAG / training-sequence preparation)
+# ---------------------------------------------------------------------------
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard retrieval/RAG and long-document preprocessing step
+    (:func:`pack_sequences` is the complementary training-side
+    operator that concatenates; this one slices).
+
+    Chunk starts step by ``stride = size - overlap``; the LAST chunk
+    is the first whose window reaches the document end, so the tail is
+    covered exactly once and no chunk is a pure suffix of its
+    predecessor. A document of ``<= size`` tokens is one chunk.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)
+    with 0-based token offsets, chunk_id ordinal per document.
+
+    Scale shape: chunk count and starts are closed-form expressions of
+    the token count, so the whole operator is one codegen projection +
+    posexplode of a per-doc ``sequence`` — no shuffle at all; the
+    output is ready to repartition by whatever the downstream index
+    wants.
+    """
+    if size < 2 or not 0 <= overlap < size:
+        raise ValueError("need size >= 2 and 0 <= overlap < size")
+    stride = size - overlap
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size("_t")
+    # ceil((n - size) / stride) + 1 for n > size, else 1
+    n_chunks = F.when(
+        n > size,
+        F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)) + 1,
+    ).otherwise(F.lit(1)).cast("int")
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .select(
+            "id",
+            "_t",
+            F.posexplode(
+                F.sequence(F.lit(0), n_chunks - 1)
+            ).alias("chunk_id", "_k"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            (F.col("_k") * F.lit(stride)).alias("chunk_start"),
+            F.slice(
+                F.col("_t"), F.col("_k") * F.lit(stride) + 1, size
+            ).alias("_c"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            "chunk_start",
+            F.size("_c").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

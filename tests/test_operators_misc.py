@@ -592,3 +592,28 @@ def test_repetition_signals_hand_computed(spark):
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["top_2gram_char_frac"] == 0.0
     assert got[3]["dup_10gram_char_frac"] == 0.0
+
+
+def test_chunk_text_hand_computed(spark):
+    """Chunk grid vs hand computation: stride stepping, tail coverage
+    by the last full window (never a pure-suffix chunk), single-chunk
+    short docs, and the parameter guard."""
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    toks10 = " ".join(f"t{i}" for i in range(10))
+    rows = [(0, toks10), (1, "a b c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id"], r["chunk_id"]): (
+            r["chunk_start"], r["n_chunk_tokens"], r["chunk_text"]
+        )
+        for r in chunk_text(df, "doc_id", "text", size=8, overlap=4).collect()
+    }
+    # n=10, size=8, stride=4 -> starts 0 and 4 (4+8 >= 10 covers tail)
+    assert got == {
+        (0, 0): (0, 8, " ".join(f"t{i}" for i in range(8))),
+        (0, 1): (4, 6, " ".join(f"t{i}" for i in range(4, 10))),
+        (1, 0): (0, 3, "a b c"),
+    }
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_text(df, "doc_id", "text", size=8, overlap=8)

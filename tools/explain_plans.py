@@ -52,6 +52,7 @@ QUERIES = [
     ("repetition_signals", "per n one codegen window explode + grouped count keyed (id, gram) — id in the key spreads boilerplate grams; per-doc stats join back on id"),
     ("bfs_distances", "frontier relaxation: per hop ONE frontier-edge equi-join + min-merge; work tracks the expanding boundary, never the settled set"),
     ("warc_roundtrip", "one Arrow pass per WARC blob (binaryFile granularity); no per-record Python round trips; md5/length computed JVM-side on the parsed payloads"),
+    ("text_chunking", "zero-shuffle: one codegen projection + posexplode of a closed-form per-doc chunk grid"),
     ("semdedup", "k-means centroids as broadcast literals (one scan/iteration); size-guarded cluster equi-join for pairs; delegate collapse via (cluster, nv) window"),
 ]
 
