@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .textquality import norm_tokens
+
 
 def _finalize(out: DataFrame, *caches: DataFrame) -> DataFrame:
     """Materialize ``out`` (localCheckpoint, eager) and release the
@@ -101,7 +103,7 @@ def _token_windows(
     slower; see :func:`word_ngrams`). ``with_pos`` adds the 0-based
     window start via ``posexplode``. Documents shorter than ``n``
     tokens produce no rows."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = norm_tokens(text_col)
     m = F.size("_t") - F.lit(n - 1)
     zipped = F.arrays_zip(
         *[F.slice(F.col("_t"), k + 1, m) for k in range(n)]
@@ -956,7 +958,7 @@ def cut_repeated_spans(
             F.collect_list(F.struct("span_start", "span_end")).alias("_keeps")
         )
     )
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = norm_tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
     joined = (
         base.join(cut_ranges, "id", "left")

@@ -488,11 +488,14 @@ def bfs_distances(
     ``max_hops`` (sources at 0; unreachable vertices absent).
 
     Distributed shape: textbook frontier relaxation — per hop ONE
-    equi-join of the CURRENT frontier (vertices first reached at the
-    previous hop, never the settled set) against the edge list, then a
-    min-merge. Work per hop is proportional to the expanding boundary,
-    not the visited set; hop count is FIXED so the plan is static and
-    an unrolled/recursive SQL oracle can replay it exactly. Lineage is
+    equi-join of the CURRENT frontier against the edge list, a dedup
+    of the candidates (frontier-sized), and one LEFT ANTI membership
+    probe against the settled set to keep only first discoveries. The
+    settled set is only ever PROBED and unioned, never re-aggregated —
+    level-synchronous BFS guarantees a vertex's first discovery hop is
+    its shortest distance, so no min-merge over the visited set is
+    needed. Hop count is FIXED so the plan is static and an
+    unrolled/recursive SQL oracle can replay it exactly. Lineage is
     flattened with a localCheckpoint every few hops, the same cadence
     discipline as article_rank / k_core.
     """
@@ -500,25 +503,24 @@ def bfs_distances(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).distinct()
     src_col = sources.columns[0]
-    dist = sources.select(
+    frontier = sources.select(
         F.col(src_col).alias("id"), F.lit(0).alias("dist")
     ).distinct()
+    dist = frontier
     for h in range(1, max_hops + 1):
-        # rename the frontier column before the join: after hop 1 the
-        # dist lineage already contains e, and unaliased refs into a
+        # rename the frontier column before the join: the looped
+        # lineage contains e after hop 1, and unaliased refs into a
         # repeated self-join are ambiguous
-        frontier = dist.where(F.col("dist") == h - 1).select(
-            F.col("id").alias("_fid")
-        )
-        nxt = (
-            frontier.join(e, F.col("_fid") == F.col("src"))
+        new = (
+            frontier.select(F.col("id").alias("_fid"))
+            .join(e, F.col("_fid") == F.col("src"))
             .select(F.col("dst").alias("id"), F.lit(h).alias("dist"))
+            .dropDuplicates(["id"])
+            .join(dist.select("id"), "id", "left_anti")
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("id")
-            .agg(F.min("dist").alias("dist"))
-        )
+        dist = dist.unionByName(new)
+        frontier = new
         if h % 3 == 0:
             dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
     return dist

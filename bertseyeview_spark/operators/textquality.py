@@ -69,6 +69,18 @@ def language_id(df: DataFrame, text_col: str, out_col: str = "lang_guess") -> Da
     return df.withColumn(out_col, guess)
 
 
+def norm_tokens(text_col: str | Column) -> Column:
+    """THE canonical normalized tokenizer (lowercase, trim, split on
+    whitespace) shared by every token-POSITIONAL operator — the window
+    builders in dedup.py (_token_windows, cut_repeated_spans) and the
+    chunk/repetition operators here. Positions produced by one copy
+    and consumed by another must come from the same expression, so a
+    tokenizer change lands once; a drifted copy would silently cut or
+    chunk the wrong tokens."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
 def whitespace_token_count(text_col: Column) -> Column:
     t = F.trim(text_col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
@@ -442,7 +454,7 @@ def lm_perplexity(
         model_docs = docs
 
     def bigrams(src: DataFrame, idc: str) -> DataFrame:
-        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        toks = norm_tokens(text_col)
         m = F.size("_t") - F.lit(1)
         return (
             src.select(F.col(idc).alias("id"), toks.alias("_t"))
@@ -520,7 +532,7 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     one row per document joined back on id. Linear in corpus tokens
     per n, like every shingle operator in dedup.py.
     """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = norm_tokens(text_col)
     base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
 
     def gram_stats(n: int, prefix: str, top: bool) -> DataFrame:
@@ -625,7 +637,7 @@ def chunk_text(
     if size < 2 or not 0 <= overlap < size:
         raise ValueError("need size >= 2 and 0 <= overlap < size")
     stride = size - overlap
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = norm_tokens(text_col)
     n = F.size("_t")
     # ceil((n - size) / stride) + 1 for n > size, else 1
     n_chunks = F.when(
@@ -637,16 +649,17 @@ def chunk_text(
         .select(
             "id",
             "_t",
-            F.posexplode(
-                F.sequence(F.lit(0), n_chunks - 1)
-            ).alias("chunk_id", "_k"),
+            # pos of posexplode over a 0..n-1 sequence equals the
+            # element itself — one exploded value serves as both the
+            # ordinal and the stride multiplier
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
         )
         .select(
             "id",
             "chunk_id",
-            (F.col("_k") * F.lit(stride)).alias("chunk_start"),
+            (F.col("chunk_id") * F.lit(stride)).alias("chunk_start"),
             F.slice(
-                F.col("_t"), F.col("_k") * F.lit(stride) + 1, size
+                F.col("_t"), F.col("chunk_id") * F.lit(stride) + 1, size
             ).alias("_c"),
         )
         .select(

@@ -72,28 +72,55 @@ def gzip_member(record: bytes) -> bytes:
     return buf.getvalue()
 
 
-def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a concatenation of gzip members to one plain blob."""
-    out = []
+def _iter_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members ONE AT A TIME: a
+    corrupt member ends the iteration but every member before it is
+    yielded whole — a mid-file corruption must not drop the segment's
+    earlier pages."""
     while data:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        d.flush()
+        try:
+            member = d.decompress(data)
+            d.flush()
+        except (OSError, zlib.error):
+            return
+        yield member
+        if not d.eof:
+            return  # truncated final member
         data = d.unused_data
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer body (hex-size lines +
+    CRLF framing). On any framing error the RAW body is returned —
+    degrade, never crash, matching the malformed-html contract."""
+    out = []
+    pos = 0
+    try:
+        while True:
+            eol = body.index(_CRLF, pos)
+            size = int(body[pos:eol].split(b";")[0], 16)
+            if size == 0:
+                break
+            start = eol + len(_CRLF)
+            out.append(body[start : start + size])
+            pos = start + size + len(_CRLF)
+    except (ValueError, IndexError):
+        return body
     return b"".join(out)
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Iterate the ``response`` records of one WARC blob (plain or
     gzip-member) as dicts (url, warc_ts, html). Malformed trailing
-    garbage ends the scan instead of crashing — a truncated fetch
-    yields the records that are whole, matching how the pipeline's
-    malformed-html path degrades (extract_one on bad bytes)."""
+    garbage — plain or a corrupt gzip member — ends the scan instead
+    of crashing, yielding every record that is whole, matching how the
+    pipeline's malformed-html path degrades (extract_one on bad
+    bytes). Chunked HTTP response bodies are de-framed."""
     if data[:2] == b"\x1f\x8b":
-        try:
-            data = _gunzip_members(data)
-        except (OSError, zlib.error):
-            return
+        for member in _iter_gzip_members(data):
+            yield from parse_warc(member)
+        return
     pos = 0
     n = len(data)
     while pos < n:
@@ -123,7 +150,16 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             if body[:5] == b"HTTP/":
                 split = body.find(_HDR_END)
                 if split >= 0:
+                    http_headers = body[:split].lower()
                     body = body[split + len(_HDR_END) :]
+                    # real crawls store chunked bodies verbatim; strip
+                    # the hex-size framing or downstream extraction
+                    # tokenizes chunk lengths as document text
+                    if (
+                        b"transfer-encoding:" in http_headers
+                        and b"chunked" in http_headers
+                    ):
+                        body = _dechunk(body)
             ts = None
             raw_ts = headers.get("warc-date", "")
             try:
@@ -145,23 +181,27 @@ def read_warc_blobs(blobs: DataFrame, blob_col: str = "content") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls: list[str | None] = []
-            tss: list[datetime | None] = []
-            htmls: list[bytes] = []
+            # yield per BLOB, not per Arrow batch: one row is a whole
+            # crawl segment (~1 GB decompressed), so accumulating a
+            # batch of them before yielding would hold several
+            # segments' pages in memory at once
             for blob in pdf[blob_col]:
                 if blob is None:
                     continue
+                urls: list[str | None] = []
+                tss: list[datetime | None] = []
+                htmls: list[bytes] = []
                 for rec in parse_warc(bytes(blob)):
                     urls.append(rec["url"])
                     tss.append(rec["warc_ts"])
                     htmls.append(rec["html"])
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "warc_ts": pd.Series(tss, dtype="object"),
-                    "html": pd.Series(htmls, dtype="object"),
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "url": pd.Series(urls, dtype="object"),
+                        "warc_ts": pd.Series(tss, dtype="object"),
+                        "html": pd.Series(htmls, dtype="object"),
+                    }
+                )
 
     return blobs.select(F.col(blob_col)).mapInPandas(run, schema=WARC_SCHEMA)
 

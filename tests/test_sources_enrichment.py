@@ -358,3 +358,38 @@ class TestWarc:
             "https://ex.org/a", "https://ex.org/b",
         }
         assert all(bytes(r["html"]).startswith(b"<html>") for r in got)
+
+    def test_corrupt_gzip_member_salvages_earlier_records(self):
+        from bertseyeview_spark.sources.warc import gzip_member, parse_warc
+
+        recs = self._recs()
+        blob = (
+            gzip_member(recs[1])
+            + b"\x1f\x8b\x00garbage-not-a-member"
+            + gzip_member(recs[2])
+        )
+        got = list(parse_warc(blob))
+        # records before the corrupt member survive; scan stops there
+        assert [r["url"] for r in got] == ["https://ex.org/a"]
+
+    def test_chunked_transfer_body_deframed(self):
+        from bertseyeview_spark.sources.warc import parse_warc
+
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            b"6\r\n<html>\r\n"
+            b"8\r\nchunked!\r\n"
+            b"7\r\n</html>\r\n"
+            b"0\r\n\r\n"
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: https://ex.org/c\r\n"
+            b"WARC-Date: 2024-01-01T00:07:00Z\r\n"
+            + f"Content-Length: {len(http)}\r\n".encode()
+            + b"\r\n" + http + b"\r\n\r\n"
+        )
+        got = list(parse_warc(rec))
+        assert got[0]["html"] == b"<html>chunked!</html>"
