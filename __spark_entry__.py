@@ -1609,6 +1609,33 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(cit, sources, max_hops=8)
 
 
+def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source weighted shortest COST (gds.shortestPath Dijkstra/
+    Bellman-Ford family) over a deterministic out-degree-2 weighted
+    graph on the 500 doc_ids: edge A (d -> (d*37+11)%500, w = d%7+1)
+    and edge B (d -> (d*91+17)%500, w = d%13+3), sources = docs 0-2,
+    6-round cap. Integer-valued double weights make every path cost an
+    exact IEEE sum, and the fixed round cap makes the depth-capped
+    recursive-CTE oracle an exact replay (min over all <=6-edge walks)."""
+    from bertseyeview_spark.operators.graph import weighted_shortest_paths
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ea = docs.select(
+        d.alias("src"),
+        ((d * 37 + 11) % 500).alias("dst"),
+        ((d % 7) + 1).cast("double").alias("weight"),
+    )
+    eb = docs.select(
+        d.alias("src"),
+        ((d * 91 + 17) % 500).alias("dst"),
+        ((d % 13) + 3).cast("double").alias("weight"),
+    )
+    edges = ea.unionByName(eb).where(F.col("src") != F.col("dst"))
+    sources = docs.where(d < 3).select(d.alias("v"))
+    return weighted_shortest_paths(edges, sources, max_rounds=6)
+
+
 def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The removal stage completing the exact-substring recipe: every
     repeated 8-token occurrence is cut except the canonical
@@ -1638,68 +1665,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (proven in round-3 VERDICT). STANDING ROTATION POLICY (since r5): each
     # round the window holds (a) every new or changed query, then (b) the
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
-    # query's freshest driver row ever ages past two rounds. This round:
-    # slots 1-24 are the 24 queries displaced in r4 (newest row r03), then
-    # semdedup (first round WITH an oracle) and the new exact_substring_dedup,
-    # then 24 r04-green queries prioritized by operators touched this round;
-    # the 25 displaced past the cutoff all hold all-green r04 rows.
+    # query's freshest driver row ever ages past two rounds. This round (r6):
+    # weighted_sssp is new; text_chunking / substring_cut / repetition_signals
+    # / exact_substring_dedup sit on the changed norm_tokens empty-guard, so
+    # they stay in despite fresh r05 rows; then the 30 queries displaced in r5
+    # (newest row r04 — the oldest in the registry); the last 15 slots are
+    # r05-green fill prioritized by operators touched this round (tokenizer
+    # consumers, scale-stress + ANN-recall subjects, the flagship). The 31
+    # displaced past the cutoff ALL hold all-green r05 rows (one round old)
+    # and rotate back in r7.
     return {
-        # -- newest driver row is r03 (displaced by the r4 reorder) --
-        "embedding_topk_cosine": q_embedding_topk_cosine,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
-        "language_id": q_language_id,
-        "quality_features": q_quality_features,
-        "token_counts_by_source": q_token_counts_by_source,
-        "doc_fingerprint": q_doc_fingerprint,
-        "multimodal_meta": q_multimodal_meta,
-        "events_windowed_agg": q_events_windowed_agg,
-        "sessionization": q_sessionization,
-        "connected_components": q_connected_components,
-        "kg_pagerank": q_kg_pagerank,
-        "enrichment_expansion": q_enrichment_expansion,
-        "malformed_id_tally": q_malformed_id_tally,
-        "label_statistics": q_label_statistics,
-        "disease_attribute_join": q_disease_attribute_join,
-        "bioc_parse": q_bioc_parse,
-        "random_walks": q_random_walks,
-        "citation_rows": q_citation_rows,
-        "node_properties_search": q_node_properties_search,
-        "embedding_neardup": q_embedding_neardup,
-        "stateful_running_counts": q_stateful_running_counts,
-        "length_percentiles": q_length_percentiles,
-        "dedup_representatives": q_dedup_representatives,
-        "sequence_packing": q_sequence_packing,
-        # -- new/changed this round --
-        "semdedup": q_semdedup,
-        "exact_substring_dedup": q_exact_substring_dedup,
+        # -- new this round --
+        "weighted_sssp": q_weighted_sssp,
+        # -- changed this round (norm_tokens empty-document guard) --
+        "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
         "repetition_signals": q_repetition_signals,
-        "bfs_distances": q_bfs_distances,
-        "warc_roundtrip": q_warc_roundtrip,
-        "text_chunking": q_text_chunking,
-        # -- r04-green, operators touched this round first --
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        "temperature_resample": q_temperature_resample,
-        "stratified_sample": q_stratified_sample,
-        "classifier_quality": q_classifier_quality,
-        "token_heavy_hitters": q_token_heavy_hitters,
-        "kg_construct_triples": q_kg_construct_triples,
-        # -- r04-green fill --
-        "decontamination": q_decontamination,
-        "lm_perplexity": q_lm_perplexity,
-        "adamic_adar": q_adamic_adar,
-        "label_propagation": q_label_propagation,
-        "hits_scores": q_hits_scores,
-        "k_core": q_k_core,
-        "node_similarity": q_node_similarity,
-        "personalized_pagerank": q_personalized_pagerank,
-        "motif_two_hop": q_motif_two_hop,
-        "multimodal_frames": q_multimodal_frames,
-        "gopher_quality": q_gopher_quality,
-        "bm25_search": q_bm25_search,
-        "corpus_clean": q_corpus_clean,
-        # ---- 50-entry graded cutoff: everything below holds an
-        # ---- all-green r04 driver row and rotates back in next round
+        "exact_substring_dedup": q_exact_substring_dedup,
+        # -- newest driver row is r04 (displaced by the r5 window) --
         "triangle_counts": q_triangle_counts,
         "pii_redaction": q_pii_redaction,
         "host_profile": q_host_profile,
@@ -1730,6 +1713,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_dedup": q_simhash_dedup,
+        # -- r05-green fill: tokenizer consumers, scale-stress + ANN
+        # -- subjects, the flagship, the new operator's BFS sibling --
+        "decontamination": q_decontamination,
+        "kg_construct_triples": q_kg_construct_triples,
+        "bfs_distances": q_bfs_distances,
+        "kg_pagerank": q_kg_pagerank,
+        "connected_components": q_connected_components,
+        "semdedup": q_semdedup,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "warc_roundtrip": q_warc_roundtrip,
+        "lm_perplexity": q_lm_perplexity,
+        "token_heavy_hitters": q_token_heavy_hitters,
+        "embedding_topk_cosine": q_embedding_topk_cosine,
+        "embedding_neardup": q_embedding_neardup,
+        "dedup_representatives": q_dedup_representatives,
+        "sequence_packing": q_sequence_packing,
+        # ---- 50-entry graded cutoff: everything below holds an
+        # ---- all-green r05 driver row and rotates back in r7
+        "language_id": q_language_id,
+        "quality_features": q_quality_features,
+        "token_counts_by_source": q_token_counts_by_source,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "events_windowed_agg": q_events_windowed_agg,
+        "sessionization": q_sessionization,
+        "enrichment_expansion": q_enrichment_expansion,
+        "malformed_id_tally": q_malformed_id_tally,
+        "label_statistics": q_label_statistics,
+        "disease_attribute_join": q_disease_attribute_join,
+        "bioc_parse": q_bioc_parse,
+        "random_walks": q_random_walks,
+        "citation_rows": q_citation_rows,
+        "node_properties_search": q_node_properties_search,
+        "stateful_running_counts": q_stateful_running_counts,
+        "length_percentiles": q_length_percentiles,
+        "temperature_resample": q_temperature_resample,
+        "stratified_sample": q_stratified_sample,
+        "classifier_quality": q_classifier_quality,
+        "adamic_adar": q_adamic_adar,
+        "label_propagation": q_label_propagation,
+        "hits_scores": q_hits_scores,
+        "k_core": q_k_core,
+        "node_similarity": q_node_similarity,
+        "personalized_pagerank": q_personalized_pagerank,
+        "motif_two_hop": q_motif_two_hop,
+        "multimodal_frames": q_multimodal_frames,
+        "gopher_quality": q_gopher_quality,
+        "bm25_search": q_bm25_search,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -2439,12 +2472,13 @@ FROM pts p LEFT JOIN comp ON p.id = comp.id
         # text_chunking: the chunk grid is closed-form in the token
         # count (stride 12, last chunk = first window reaching the
         # end), so generate_series replays it exactly; slice lengths
-        # clamp identically (list_slice inclusive-1-based == F.slice)
+        # clamp identically (list_slice inclusive-1-based == F.slice).
+        # Empty documents are zero chunks (norm_tokens empty guard).
         "text_chunking": r"""
 WITH toks AS (
   SELECT doc_id AS id,
          string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
-  FROM documents
+  FROM documents WHERE len(trim(text)) > 0
 ),
 cnt AS (
   SELECT id, t,
@@ -2486,6 +2520,31 @@ walk(id, d) AS (
   SELECT c.b, w.d + 1 FROM walk w JOIN cit c ON c.a = w.id WHERE w.d < 8
 )
 SELECT id, min(d)::INT AS dist FROM walk GROUP BY id
+""",
+        # weighted_sssp: fixed-round Bellman-Ford == min cost over all
+        # <=6-edge walks, replayed as a depth-capped recursive CTE
+        # (out-degree 2, 3 sources bounds the walk fan-out; cost
+        # accumulates left-to-right along each walk in both engines so
+        # the integer-valued doubles are bit-identical)
+        "weighted_sssp": """
+WITH RECURSIVE e AS (
+  SELECT src, dst, min(w) AS w FROM (
+    SELECT doc_id AS src, (doc_id * 37 + 11) % 500 AS dst,
+           ((doc_id % 7) + 1)::DOUBLE AS w
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 91 + 17) % 500,
+           ((doc_id % 13) + 3)::DOUBLE
+    FROM documents
+  ) raw WHERE src <> dst GROUP BY src, dst
+),
+walk(id, c, d) AS (
+  SELECT doc_id, 0.0::DOUBLE, 0 FROM documents WHERE doc_id < 3
+  UNION
+  SELECT e.dst, w.c + e.w, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+  WHERE w.d < 6
+)
+SELECT id::BIGINT AS id, min(c) AS cost FROM walk GROUP BY id
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
@@ -3140,7 +3199,9 @@ FROM grp GROUP BY id, g
         "substring_cut": r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')
+         END AS t
   FROM documents
 ),
 win AS (

@@ -69,6 +69,61 @@ HEADLINE = [
 PROD_NER_LAYERS = 96
 
 
+def calibration(spark) -> dict:
+    """Host-phase calibration pair (fixed-size, fixed-seed) emitted
+    into every bench JSON so cross-round comparisons can be normalized
+    for this sandbox's 1.5-3x sustained-capacity swing (the r5 driver
+    bench 'regressed' 6.7% while the same tree's pooled-min improved
+    10% — without a probe those deltas are uninterpretable):
+
+    * ``numpy_sgemm_gflops`` — best-of-3 float32 768^3 GEMM on the
+      driver process (OMP_NUM_THREADS is NOT forced, so this reads the
+      same burst/steady host phase the Arrow UDF workers see);
+    * ``jvm_agg_mrows_per_sec`` — best-of-3 bit_xor(xxhash64) fold
+      over a fixed 200M-row range() on the bench's own local[N]
+      session (whole-stage-codegen JVM throughput at bench
+      parallelism, one untimed warmup for JIT).
+
+    Reading a bench delta: divide each query's time by the ratio of
+    its round's probe to the other round's probe before comparing —
+    UDF-heavy queries (kg_construct) track the sgemm number, shuffle/
+    agg queries track the JVM number.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    n = 768
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((n, n), dtype=np.float32)
+    b = rng.standard_normal((n, n), dtype=np.float32)
+    (a @ b).sum()  # warm (allocator + BLAS thread pool spin-up)
+    best = min(
+        _timed(lambda: (a @ b).sum()) for _ in range(3)
+    )
+    gflops = 2.0 * n**3 / best / 1e9
+
+    jvm_rows = 200_000_000
+    job = lambda: (  # noqa: E731
+        spark.range(jvm_rows)
+        .agg(F.bit_xor(F.xxhash64("id")))
+        .collect()
+    )
+    job()  # warm (codegen JIT)
+    jbest = min(_timed(job) for _ in range(3))
+    return {
+        "numpy_sgemm_gflops": round(gflops, 2),
+        "jvm_agg_mrows_per_sec": round(jvm_rows / jbest / 1e6, 1),
+        "sgemm_n": n,
+        "jvm_agg_rows": jvm_rows,
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -90,6 +145,15 @@ def main() -> None:
 
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # host-phase probe FIRST (before any query work skews the JIT/page
+    # cache state); BENCH_CALIBRATION=0 skips it (scaling harness runs
+    # its own per-level probes)
+    calib = (
+        calibration(spark)
+        if os.environ.get("BENCH_CALIBRATION", "1") == "1"
+        else None
+    )
 
     qs = E.queries()
     timings: dict[str, float] = {}
@@ -185,6 +249,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extras": {
+                    "calibration": calib,
                     "kg_pages": n_pages,
                     "kg_triples": n_triples,
                     "kg_triples_per_sec": kg_extras[

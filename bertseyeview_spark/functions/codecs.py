@@ -258,6 +258,66 @@ def sanitize_pipe(col: Column) -> Column:
     return F.regexp_replace(col, r"\|", ";")
 
 
+def apoc_csv_string(header: list[str], rows: list[list]) -> str:
+    """The `apoc.export.csv.query(stream:true)` payload shape the
+    reference's REST layer receives (neo4j_helper.py:557-559): a
+    header row plus data rows, EVERY field double-quoted (APOC default
+    quotes:'always'), embedded quotes doubled per CSV, None as the
+    empty quoted string, '\\n' line endings with a trailing newline.
+    Floats/ints render via str() (matches Neo4j's round(x, 4) floats,
+    e.g. '1.0')."""
+
+    def q(v) -> str:
+        if v is None:
+            s = ""
+        elif isinstance(v, bool):
+            s = "true" if v else "false"
+        else:
+            s = str(v)
+        return '"' + s.replace('"', '""') + '"'
+
+    lines = [",".join(q(h) for h in header)]
+    lines.extend(",".join(q(v) for v in row) for row in rows)
+    return "\n".join(lines) + "\n"
+
+
+def csv_export_envelope(csv_text: str) -> str:
+    """The REST text/plain envelope post-processing applied verbatim
+    to the streamed APOC CSV (neo4j_helper.py:570-573): the chained
+    ``.replace('","', '|').replace('"', '').replace(';', ',')
+    .replace('|', ';')`` that turns quoted-CSV field separators into
+    semicolons. Quirks preserved BY CONSTRUCTION (the chain runs on
+    the whole payload, in order), all golden-pinned:
+
+    * data semicolons become commas (step 3 runs before step 4);
+    * data pipes become semicolons (step 4 sees them);
+    * ALL double quotes are stripped, including CSV-doubled embedded
+      quotes (step 2);
+    * a data value ENDING in '"' CSV-escapes to '...""', whose last
+      quote fuses with the field separator into '","' -> '|' -> ';'
+      and the leftovers strip — the trailing data quote silently
+      VANISHES from the payload (reference-faithful lossiness).
+    """
+    return (
+        csv_text.replace('","', "|")
+        .replace('"', "")
+        .replace(";", ",")
+        .replace("|", ";")
+    )
+
+
+def export_abundance_payload(df) -> str:
+    """label-abundance result -> the REST layer's text/plain body:
+    collect the (already top-k-bounded) result in column order, render
+    the APOC streamed-CSV shape, apply the envelope chain. Driver-side
+    BY DESIGN — this is a bounded HTTP response payload, not a corpus
+    op (the reference streams it out of apoc.export.csv.query the
+    same way, neo4j_helper.py:556-573)."""
+    header = list(df.columns)
+    rows = [[row[c] for c in header] for row in df.collect()]
+    return csv_export_envelope(apoc_csv_string(header, rows))
+
+
 # ---------------------------------------------------------------------------
 # id validators (C14) — pure Catalyst
 # ---------------------------------------------------------------------------

@@ -524,3 +524,83 @@ def bfs_distances(
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     return dist
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 8,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Multi-source single-source-set shortest COST over a DIRECTED
+    weighted edge set — the gds.shortestPath Dijkstra/Bellman-Ford
+    family member completing the group :func:`bfs_distances` started
+    (the reference's graph layer exposes Neo4j path procedures; see
+    neo4j_helper.py's GDS call sites).
+
+    ``edges`` is (src, dst, weight); ``sources`` a one-column frame of
+    start vertices. Returns (id, cost) — the minimum total edge weight
+    from ANY source to each vertex reachable within ``max_rounds``
+    edges (sources at 0.0; unreachable vertices absent). Negative
+    weights are rejected (Bellman-Ford would need V-1 rounds to be
+    exact with them; the fixed round cap is the oracle-replayable
+    contract).
+
+    Distributed shape: Bellman-Ford frontier relaxation, the delta-
+    stepping degenerate form that needs no priority queue — per round
+    ONE equi-join of the improved-last-round frontier against the edge
+    list, a grouped min-merge of the candidates (unlike BFS, a later
+    discovery can be CHEAPER, so first-discovery dedup is wrong here),
+    and one left join against the settled bests keeping strict
+    improvements only. Work per round tracks the improving boundary,
+    never the settled set; parallel edges are min-collapsed once up
+    front so candidate volume is bounded by the simple-edge count.
+    Round count is FIXED so the plan is static and a depth-capped
+    recursive SQL oracle can replay it exactly (cost accumulates
+    left-to-right along each path in both engines, so IEEE doubles
+    match bit-for-bit). Lineage is flattened with a localCheckpoint
+    every few rounds, the same cadence discipline as bfs_distances.
+    """
+    e = (
+        edges.select("src", "dst", F.col(weight_col).cast("double").alias("_w"))
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("_w").isNotNull()
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("_w").alias("_w"))
+    )
+    # limit(1) keeps the validation probe O(first match), not a full agg
+    if e.where(F.col("_w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
+    src_col = sources.columns[0]
+    dist = sources.select(
+        F.col(src_col).alias("id"), F.lit(0.0).alias("cost")
+    ).distinct()
+    frontier = dist
+    for r in range(1, max_rounds + 1):
+        cand = (
+            # rename before the join: the looped lineage contains e
+            # after round 1 (same ambiguity hazard as bfs_distances)
+            frontier.select(F.col("id").alias("_fid"), F.col("cost").alias("_fc"))
+            .join(e, F.col("_fid") == F.col("src"))
+            .select(F.col("dst").alias("id"), (F.col("_fc") + F.col("_w")).alias("cost"))
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            cand.join(
+                dist.select(F.col("id"), F.col("cost").alias("_best")),
+                "id",
+                "left",
+            )
+            .where(F.col("_best").isNull() | (F.col("cost") < F.col("_best")))
+            .select("id", "cost")
+        )
+        dist = dist.join(improved, "id", "left_anti").unionByName(improved)
+        frontier = improved
+        if r % 3 == 0:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return dist

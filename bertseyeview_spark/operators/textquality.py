@@ -76,9 +76,18 @@ def norm_tokens(text_col: str | Column) -> Column:
     chunk/repetition operators here. Positions produced by one copy
     and consumed by another must come from the same expression, so a
     tokenizer change lands once; a drifted copy would silently cut or
-    chunk the wrong tokens."""
+    chunk the wrong tokens.
+
+    Empty/whitespace-only text yields an EMPTY array — a bare
+    ``split(trim(''))`` returns ``['']``, which used to leak a phantom
+    1-token document into :func:`chunk_text` (one empty chunk) and
+    :func:`~..dedup.cut_repeated_spans` (``n_tokens=1``); the guard
+    pins token count 0 for empty documents everywhere."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.split(F.trim(F.lower(c)), r"\s+")
+    t = F.trim(F.lower(c))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def whitespace_token_count(text_col: Column) -> Column:
@@ -526,6 +535,15 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     engines and partitionings with no rounding step. Documents too
     short for an n produce 0.0 for that column.
 
+    DENOMINATOR CAVEAT — the published Gopher/datatrove filters
+    normalize the n-gram char-mass numerators by the *document's*
+    character count; this table normalizes by *total n-gram char
+    mass* (the exact-integer formulation above). The ratios are
+    therefore on a different scale than the published ones and the
+    published thresholds (e.g. top_2gram > 0.20) are NOT directly
+    transferable — recalibrate thresholds against this table before
+    filtering with it.
+
     Scale shape: one tokenize, then per n one codegen window explode +
     a grouped count keyed (id, gram) — the id in the key spreads hot
     boilerplate grams across the cluster, and each per-doc stat row is
@@ -623,7 +641,8 @@ def chunk_text(
     Chunk starts step by ``stride = size - overlap``; the LAST chunk
     is the first whose window reaches the document end, so the tail is
     covered exactly once and no chunk is a pure suffix of its
-    predecessor. A document of ``<= size`` tokens is one chunk.
+    predecessor. A document of ``<= size`` tokens is one chunk; an
+    empty/whitespace-only document is NO chunks.
 
     Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)
     with 0-based token offsets, chunk_id ordinal per document.
@@ -646,6 +665,10 @@ def chunk_text(
     ).otherwise(F.lit(1)).cast("int")
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        # empty documents produce NO chunks (norm_tokens pins their
+        # token array empty; without this filter they'd still emit one
+        # zero-token chunk via the n_chunks floor of 1)
+        .where(F.size("_t") > 0)
         .select(
             "id",
             "_t",

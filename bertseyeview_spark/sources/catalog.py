@@ -219,13 +219,20 @@ class TableCatalog:
         try:
             gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            # orphan cleanup: unlink only the exact file we judged old.
+            # orphan cleanup: BEST-EFFORT narrowing, not a full fix.
             # A bare getmtime-then-unlink lets this waiter delete a
             # FRESH guard re-created between the two calls (admitting
             # two reclaimers into the judge+unlink critical section),
             # so judge via fstat on an open fd and re-stat the path
             # immediately before the unlink — a swapped (dev, inode)
             # means someone else already cycled the guard; leave it.
+            # A microsecond window remains between the re-stat and the
+            # unlink (another waiter could cycle the guard in between);
+            # consequence is two reclaimers judging the lock
+            # concurrently, which the catalog's optimistic commit
+            # conflict check backstops. Closing it fully needs a
+            # rename-claim protocol, not worth it for a 60s-orphan
+            # path held for microseconds.
             try:
                 ofd = os.open(guard, os.O_RDONLY)
                 try:

@@ -179,3 +179,73 @@ class TestArticleAnnotationStrings:
         # roundtrip through the inverse codec
         parsed = parse_annotation_string(got["u1"])
         assert ("Gene", "6647", "sod1", "gene") in parsed
+
+
+class TestCsvExportEnvelope:
+    """Golden pins for the REST text/plain export envelope — the APOC
+    streamed-CSV payload + the reference's chained replaces
+    (neo4j_helper.py:556-573), the one §3.2 lifecycle byte surface
+    that had no parity test through round 5."""
+
+    def test_apoc_csv_shape(self):
+        from bertseyeview_spark.functions.codecs import apoc_csv_string
+
+        got = apoc_csv_string(
+            ["score_1", "name", "db_id"],
+            [[1.0, "sod1", 42], [0.1234, 'quo"te', None]],
+        )
+        assert got == (
+            '"score_1","name","db_id"\n'
+            '"1.0","sod1","42"\n'
+            '"0.1234","quo""te",""\n'
+        )
+
+    def test_envelope_golden(self):
+        from bertseyeview_spark.functions.codecs import (
+            apoc_csv_string,
+            csv_export_envelope,
+        )
+
+        csv = apoc_csv_string(
+            ["score_1", "name", "db_id"],
+            [
+                [1.0, "amyotrophic lateral sclerosis", 7],
+                # quirk row: data ';' -> ',', data '|' -> ';',
+                # embedded quote stripped entirely
+                [0.5, 'a;b|c"d', 8],
+            ],
+        )
+        got = csv_export_envelope(csv)
+        assert got == (
+            "score_1;name;db_id\n"
+            "1.0;amyotrophic lateral sclerosis;7\n"
+            "0.5;a,b;cd;8\n"
+        )
+
+    def test_envelope_trailing_quote_quirk(self):
+        """A value ENDING in '\"' doubles to '\"\"' in CSV, so the
+        payload reads '\"x\"\"\",\"y\"': the LAST doubled quote plus
+        the separator collapses via '\",\"' -> '|' and the leftover
+        quotes strip, so the trailing data quote silently VANISHES
+        (x;y, no artifact) — pin the reference-faithful lossiness."""
+        from bertseyeview_spark.functions.codecs import (
+            apoc_csv_string,
+            csv_export_envelope,
+        )
+
+        got = csv_export_envelope(
+            apoc_csv_string(["a", "b"], [['x"', "y"]])
+        )
+        assert got == "a;b\nx;y\n"
+
+    def test_payload_from_dataframe(self, spark):
+        from bertseyeview_spark.functions.codecs import (
+            export_abundance_payload,
+        )
+
+        df = spark.createDataFrame(
+            [(2.5, "sod1", 3, 1)], ["score_1", "name", "mentions", "db_id"]
+        )
+        assert export_abundance_payload(df) == (
+            "score_1;name;mentions;db_id\n2.5;sod1;3;1\n"
+        )

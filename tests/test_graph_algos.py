@@ -265,3 +265,58 @@ def test_bfs_distances_hand_graph(spark):
         for r in bfs_distances(edges, sources, max_hops=2).collect()
     }
     assert got2 == {"a": 0, "s": 0, "b": 1, "c": 1, "d": 2}
+
+
+def test_weighted_sssp_shortcut_vs_cheap_path(spark):
+    """Bellman-Ford frontier relaxation vs hand-walked costs: the
+    direct heavy edge (a->d, 10) must LOSE to the 3-hop cheap path
+    (a->b->c->d, 1+1+1=3) — the case plain BFS first-discovery dedup
+    would get wrong — plus min over sources, parallel-edge collapse,
+    round cap, and unreachable-vertex absence."""
+    from bertseyeview_spark.operators.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "d", 10.0),            # heavy shortcut, found at round 1
+            ("a", "b", 1.0), ("b", "c", 1.0), ("c", "d", 1.0),  # cheap path
+            ("a", "b", 5.0),             # parallel edge, must min-collapse
+            ("s", "c", 0.5),             # second source undercuts a's path
+            ("d", "e", 1.0),
+            ("x", "y", 2.0),             # island, unreachable
+        ],
+        ["src", "dst", "weight"],
+    )
+    sources = spark.createDataFrame([("a",), ("s",)], ["v"])
+    got = {
+        r["id"]: r["cost"]
+        for r in weighted_shortest_paths(edges, sources, max_rounds=4).collect()
+    }
+    # d: min(10 direct, 3 via a-path, 0.5+1 via s) = 1.5; e follows d
+    assert got == {
+        "a": 0.0, "s": 0.0, "b": 1.0, "c": 0.5, "d": 1.5, "e": 2.5
+    }
+    # round cap 1: only direct relaxations from the sources exist
+    got1 = {
+        r["id"]: r["cost"]
+        for r in weighted_shortest_paths(edges, sources, max_rounds=1).collect()
+    }
+    assert got1 == {"a": 0.0, "s": 0.0, "b": 1.0, "c": 0.5, "d": 10.0}
+    # a cost found at an early round is still IMPROVED by a later,
+    # longer-but-cheaper discovery (the min-merge semantics): at 3
+    # rounds d has already dropped from 10.0 to 1.5
+    got3 = {
+        r["id"]: r["cost"]
+        for r in weighted_shortest_paths(edges, sources, max_rounds=3).collect()
+    }
+    assert got3["d"] == 1.5
+
+
+def test_weighted_sssp_rejects_negative_weights(spark):
+    from bertseyeview_spark.operators.graph import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", -0.5)], ["src", "dst", "weight"]
+    )
+    sources = spark.createDataFrame([("a",)], ["v"])
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_shortest_paths(edges, sources, max_rounds=2)

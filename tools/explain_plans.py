@@ -50,7 +50,7 @@ QUERIES = [
     ("exact_substring_dedup", "codegen arrays_zip window build + dual-seed xxhash64 fingerprints; both shuffles key on the fingerprint (AQE skew-split covers boilerplate keys); per-doc gaps-and-islands window bounded by doc length"),
     ("substring_cut", "flag stage shared with exact_substring_dedup; canonical pick = one row_number window over the fingerprint; cut applied as a per-doc HOF filter against that doc's own collected ranges — no corpus-wide state"),
     ("repetition_signals", "per n one codegen window explode + grouped count keyed (id, gram) — id in the key spreads boilerplate grams; per-doc stats join back on id"),
-    ("bfs_distances", "frontier relaxation: per hop ONE frontier-edge equi-join + min-merge; work tracks the expanding boundary, never the settled set"),
+    ("bfs_distances", "frontier expansion: per hop ONE frontier-edge equi-join, then dedup + left-anti membership probe against the settled set (first discovery = shortest hop, no min-merge needed); work tracks the expanding boundary"),
     ("warc_roundtrip", "one Arrow pass per WARC blob (binaryFile granularity); no per-record Python round trips; md5/length computed JVM-side on the parsed payloads"),
     ("text_chunking", "zero-shuffle: one codegen projection + posexplode of a closed-form per-doc chunk grid"),
     ("semdedup", "k-means centroids as broadcast literals (one scan/iteration); size-guarded cluster equi-join for pairs; delegate collapse via (cluster, nv) window"),
