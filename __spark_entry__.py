@@ -1791,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
 
     jaccard_cte = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -1860,13 +1860,17 @@ WITH rbase AS (
   FROM documents
 ),
 rtoks AS (
-  SELECT id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+  SELECT id,
+         CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
+         END AS t
   FROM rbase
 ),
 rlines AS (
-  SELECT id, trim(l) AS line, count(*) AS cnt
+  SELECT id, trim(l, ' ') AS line, count(*) AS cnt
   FROM (SELECT id, unnest(string_split(lower(text), chr(10))) AS l FROM rbase)
-  WHERE trim(l) <> ''
+  WHERE trim(l, ' ') <> ''
   GROUP BY 1, 2
 ),
 rls AS (
@@ -2477,8 +2481,8 @@ FROM pts p LEFT JOIN comp ON p.id = comp.id
         "text_chunking": r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
-  FROM documents WHERE len(trim(text)) > 0
+         string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS t
+  FROM documents WHERE NOT regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
 ),
 cnt AS (
   SELECT id, t,
@@ -2584,7 +2588,7 @@ FROM documents GROUP BY source
         # string ids, so the comparison is lexicographic on both sides)
         "dedup_representatives": """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2723,8 +2727,8 @@ WITH RECURSIVE lg AS (
 ),
 w0 AS (
   SELECT id, text,
-    CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w,
+    CASE WHEN length(trim(text, ' ')) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') END AS w,
     (CASE {lang_case} ELSE 'und' END) = 'en' AS lang_ok
   FROM lg
 ),
@@ -2757,7 +2761,7 @@ sh AS (
   SELECT id, unnest(list_distinct(
     list_transform(range(1, greatest(len(t) - 1, 1)),
                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-  FROM (SELECT id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') t
+  FROM (SELECT id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t
         FROM surv) s
   WHERE len(t) >= 3
 ),
@@ -2795,8 +2799,8 @@ FROM gates g LEFT JOIN dup ON g.id = dup.id
         "bm25_search": """
 WITH toks AS (
   SELECT doc_id AS id,
-    unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term,
-    len(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS dl
+    unnest(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS term,
+    len(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS dl
   FROM documents
 ),
 per_doc AS (SELECT id, any_value(dl) AS dl FROM toks GROUP BY id),
@@ -2820,8 +2824,8 @@ FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 25
         "gopher_quality": """
 WITH w0 AS (
   SELECT doc_id AS id,
-    CASE WHEN length(trim(text)) = 0 THEN []
-         ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') END AS w
+    CASE WHEN length(trim(text, ' ')) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') END AS w
   FROM documents
 ),
 b AS (
@@ -2972,23 +2976,23 @@ FROM (SELECT doc_id, {lang_cols}, {lang_max} AS m FROM documents)
         "quality_features": f"""
 SELECT doc_id,
   length(text) AS n_chars,
-  (CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens,
+  (CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END) AS n_tokens,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
     AS n_bpe_tokens,
   round(CASE WHEN length(text) > 0
         THEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) * 1.0 / length(text)
         ELSE 0 END, 6) AS punct_ratio,
-  round(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
-        THEN length(text) * 1.0 / (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END)
+  round(CASE WHEN (CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END) > 0
+        THEN length(text) * 1.0 / (CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END)
         ELSE 0 END, 4) AS mean_word_len,
   round(({stop_sum}) * 1.0 / {len(TQ.STOPWORDS_EN)}, 4) AS stopword_presence,
   round(
     0.25 * (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
-    + 0.25 * (CASE WHEN (length(text) * 1.0 / nullif((CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END), 0))
+    + 0.25 * (CASE WHEN (length(text) * 1.0 / nullif((CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END), 0))
              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
     + 0.25 * (1 - least((CASE WHEN length(text) > 0
         THEN len(regexp_extract_all(text, '[^\\w \\t\\n\\x0B\\f\\r]')) * 1.0 / length(text)
@@ -2999,8 +3003,8 @@ FROM documents
 """,
         "token_counts_by_source": """
 SELECT source,
-  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-      ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
+  CAST(sum(CASE WHEN length(trim(text, ' ')) = 0 THEN 0
+      ELSE len(string_split_regex(trim(text, ' '), '[ \\t\\n\\x0B\\f\\r]+')) END) AS BIGINT)
     AS total_tokens,
   CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')))
     AS BIGINT) AS total_bpe_tokens
@@ -3142,7 +3146,7 @@ HAVING sum(1.0 / ln(z.d)) >= 1.0
 """,
         "token_heavy_hitters": r"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS v
+  SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS v
   FROM documents WHERE text IS NOT NULL
 ),
 cnt AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
@@ -3156,7 +3160,7 @@ FROM cnt ORDER BY cnt DESC, v LIMIT 20
         # running max of span ends, exactly mirroring the Spark window
         "exact_substring_dedup": r"""
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS t
+  SELECT doc_id AS id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 win AS (
@@ -3199,8 +3203,9 @@ FROM grp GROUP BY id, g
         "substring_cut": r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text)), '[ \t\n\x0B\f\r]+')
+         CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
          END AS t
   FROM documents
 ),
@@ -3287,7 +3292,7 @@ GROUP BY 1
 WITH w(token, weight) AS (VALUES {", ".join(f"('{t}', {v}::DOUBLE)" for t, v in CLS_WEIGHTS)}),
 toks AS (
   SELECT doc_id AS id,
-         unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS token
   FROM documents WHERE text IS NOT NULL),
 hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
          GROUP BY id)
@@ -3341,7 +3346,7 @@ SELECT n_nationkey + 100, 'insert' FROM nation WHERE n_nationkey < 5
 """,
         "decontamination": """
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  SELECT doc_id AS id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ),
 sh AS (
@@ -3364,7 +3369,11 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.id
 """,
         "lm_perplexity": """
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  SELECT doc_id AS id,
+         CASE WHEN regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$')
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')
+         END AS t
   FROM documents
 ),
 bg AS (

@@ -970,15 +970,18 @@ def cut_repeated_spans(
     # as composed Columns can mis-bind auto-named lambda variables
     # when Catalyst collapses projections (see _normalized_expr in
     # similarity.py / the node2vec round-2 incident)
+    # size(_t)=0 guard: sequence(0, -1) is the DESCENDING [0, -1] in
+    # Spark, so zip_with would null-pad an empty doc to 2 phantom
+    # tokens (n_tokens_cut=-2, caught by the unicode fuzz suite)
     kept = F.expr(
-        "transform("
+        "CASE WHEN size(_t) = 0 THEN _t ELSE transform("
         "  filter(zip_with(_t, sequence(0, size(_t) - 1),"
         "                  (_ctok, _cpos) -> named_struct('tok', _ctok, 'pos', _cpos)),"
         "         _cs -> NOT ("
         "            exists(_cuts,  _cr -> _cs.pos >= _cr.span_start AND _cs.pos <= _cr.span_end)"
         "            AND NOT exists(_keeps, _ckr -> _cs.pos >= _ckr.span_start AND _cs.pos <= _ckr.span_end)"
         "         )),"
-        "  _cx -> _cx.tok)"
+        "  _cx -> _cx.tok) END"
     )
     return joined.select(
         "id",

@@ -82,12 +82,17 @@ def norm_tokens(text_col: str | Column) -> Column:
     ``split(trim(''))`` returns ``['']``, which used to leak a phantom
     1-token document into :func:`chunk_text` (one empty chunk) and
     :func:`~..dedup.cut_repeated_spans` (``n_tokens=1``); the guard
-    pins token count 0 for empty documents everywhere."""
+    pins token count 0 for empty documents everywhere. "Whitespace"
+    here is the explicit Java-``\\s`` class ``[ \\t\\n\\x0B\\f\\r]``
+    (trim() strips only 0x20, so a tab/CRLF-only document would
+    otherwise split to phantom empty tokens — caught by the unicode
+    fuzz suite); Unicode spaces (NBSP etc.) are NOT separators, so an
+    NBSP-only document is one real token, not empty."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     t = F.trim(F.lower(c))
-    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    return F.when(
+        t.rlike("^[ \t\n\x0B\f\r]*$"), F.array().cast("array<string>")
+    ).otherwise(F.split(t, r"\s+"))
 
 
 def whitespace_token_count(text_col: Column) -> Column:
