@@ -248,27 +248,51 @@ def _spawn(subject: str, sf_dir: str, cpus: int) -> dict:
     )
 
 
-def run_all() -> None:
+PROGRESS = "/tmp/bev_stress_progress.jsonl"
+
+
+def _load_progress() -> list[dict]:
+    if not os.path.exists(PROGRESS):
+        return []
+    with open(PROGRESS) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def run_all(only: set[str] | None = None) -> None:
+    """Run the matrix, appending each measurement to PROGRESS so the
+    harness is resumable across invocations (one measurement can take
+    minutes; a wall-clock cap mid-matrix loses nothing). ``finalize``
+    aggregates PROGRESS into the BENCH json."""
     build()
-    results = []
-    for subject in SUBJECTS:
-        for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
-            rec = _spawn(subject, sf_dir, cpus=32)
-            rec["sf"] = sf_name
-            results.append(rec)
-            print(
-                f"[{subject} @ {sf_name}] wall={rec['wall_sec']}s "
-                f"rows={rec['rows']} "
-                f"spill_disk={rec.get('spill_disk_bytes', '?')} "
-                f"jvm_peak={rec['jvm_peak_rss_mb']}MB",
-                flush=True,
-            )
-    # determinism leg: kg_construct at sf1 under local[8] must hash
-    # identically to the local[32] run above
-    det = _spawn("kg_construct_triples", SF1, cpus=8)
-    det["sf"] = "sf1"
-    det["role"] = "determinism_local8"
-    results.append(det)
+    done = {(r["subject"], r["sf"], r.get("role")) for r in _load_progress()}
+    plan = [
+        (subject, sf_name, sf_dir, 32, None)
+        for subject in SUBJECTS
+        for sf_name, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]
+    ] + [("kg_construct_triples", "sf1", SF1, 8, "determinism_local8")]
+    for subject, sf_name, sf_dir, cpus, role in plan:
+        if only and subject not in only:
+            continue
+        if (subject, sf_name, role) in done:
+            continue
+        rec = _spawn(subject, sf_dir, cpus=cpus)
+        rec["sf"] = sf_name
+        if role:
+            rec["role"] = role
+        with open(PROGRESS, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(
+            f"[{subject} @ {sf_name} x{cpus}] wall={rec['wall_sec']}s "
+            f"rows={rec['rows']} "
+            f"spill_disk={rec.get('spill_disk_bytes', '?')} "
+            f"jvm_peak={rec['jvm_peak_rss_mb']}MB",
+            flush=True,
+        )
+
+
+def finalize() -> None:
+    results = _load_progress()
+    det = next(r for r in results if r.get("role") == "determinism_local8")
     h32 = next(
         r["triple_hash"] for r in results
         if r["subject"] == "kg_construct_triples" and r["sf"] == "sf1"
@@ -318,5 +342,8 @@ if __name__ == "__main__":
         build()
     elif cmd == "run":
         run_one(sys.argv[2], sys.argv[3])
+    elif cmd == "finalize":
+        finalize()
     else:
-        run_all()
+        only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+        run_all(only)
