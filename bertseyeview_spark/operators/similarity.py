@@ -96,20 +96,21 @@ def _hyperplane_signs(vec_col, dim: int, n_planes: int, seed: int = 11):
     return out
 
 
-def lsh_ann_topk(
+def lsh_candidates(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    k: int = 10,
     n_planes: int = 12,
     bands: int = 3,
     seed: int = 11,
 ) -> DataFrame:
-    """Approximate top-k: candidates = rows sharing any signature band
-    with the query, re-ranked by exact cosine. Multi-band (OR) boosts
-    recall; each band is an equi-join on (band, bucket)."""
+    """The LSH candidate stage of lsh_ann_topk, exposed so the recall
+    harness (tools/ann_recall.py) measures the exact production
+    candidate sets: distinct (query_id, neighbor_id, queryv, neighborv)
+    rows sharing at least one signature band. Each band is an equi-join
+    on (band, bucket); the query side is broadcast."""
     per_band = n_planes // bands
 
     def with_bands(df: DataFrame, prefix: str) -> DataFrame:
@@ -139,12 +140,30 @@ def lsh_ann_topk(
 
     cb = with_bands(corpus, "neighbor")
     qb = with_bands(queries, "query")
-    cand = (
+    return (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cos_sim", cosine_expr(F.col("queryv"), F.col("neighborv")))
     )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 12,
+    bands: int = 3,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing any signature band
+    with the query, re-ranked by exact cosine. Multi-band (OR) boosts
+    recall; each band is an equi-join on (band, bucket)."""
+    cand = lsh_candidates(
+        corpus, queries, id_col, vec_col, dim, n_planes, bands, seed
+    ).withColumn("cos_sim", cosine_expr(F.col("queryv"), F.col("neighborv")))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -330,6 +349,53 @@ def _kmeans_fit(
     return out, centroids
 
 
+def ivf_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iterations: int = 3,
+) -> DataFrame:
+    """The IVF probe/candidate stage of ivf_topk, exposed so the recall
+    harness (tools/ann_recall.py) measures the exact production
+    candidate sets: (query_id, qv, neighbor_id, cv, cluster) rows where
+    neighbor_id sits in one of the query's nprobe nearest inverted
+    lists. Probe rows are broadcast against the cluster equi-join."""
+    assign, cents = _kmeans_fit(corpus, id_col, vec_col, n_clusters, iterations)
+    v = F.col(vec_col).cast("array<double>")
+    lists = corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("cv")).join(
+        assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
+    )
+    qn = queries.select(F.col(id_col).alias("query_id"), v.alias("_v")).select(
+        "query_id",
+        F.col("_v").alias("qv"),
+        _normalized_expr("_v").alias("qnv"),
+    )
+    # top-nprobe centroids: sort (−similarity, cluster) ascending so
+    # the most similar centroid comes first, exact ties to low cluster
+    probe_arr = F.array(
+        *[
+            F.struct(
+                (-_dot(F.col("qnv"), F.array(*[F.lit(x) for x in c]))).alias(
+                    "negs"
+                ),
+                F.lit(ci).alias("c"),
+            )
+            for ci, c in enumerate(cents)
+        ]
+    )
+    probes = qn.select(
+        "query_id",
+        "qv",
+        F.explode(F.slice(F.sort_array(probe_arr), 1, nprobe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.c").alias("cluster"))
+    return F.broadcast(probes).join(lists, "cluster").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,36 +425,8 @@ def ivf_topk(
     at the registration site, and sub-saturating recall is
     pytest-covered.
     """
-    assign, cents = _kmeans_fit(corpus, id_col, vec_col, n_clusters, iterations)
-    v = F.col(vec_col).cast("array<double>")
-    lists = corpus.select(F.col(id_col).alias("neighbor_id"), v.alias("cv")).join(
-        assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id"
-    )
-    qn = queries.select(F.col(id_col).alias("query_id"), v.alias("_v")).select(
-        "query_id",
-        F.col("_v").alias("qv"),
-        _normalized_expr("_v").alias("qnv"),
-    )
-    # top-nprobe centroids: sort (−similarity, cluster) ascending so
-    # the most similar centroid comes first, exact ties to low cluster
-    probe_arr = F.array(
-        *[
-            F.struct(
-                (-_dot(F.col("qnv"), F.array(*[F.lit(x) for x in c]))).alias(
-                    "negs"
-                ),
-                F.lit(ci).alias("c"),
-            )
-            for ci, c in enumerate(cents)
-        ]
-    )
-    probes = qn.select(
-        "query_id",
-        "qv",
-        F.explode(F.slice(F.sort_array(probe_arr), 1, nprobe)).alias("p"),
-    ).select("query_id", "qv", F.col("p.c").alias("cluster"))
-    cand = F.broadcast(probes).join(lists, "cluster").where(
-        F.col("query_id") != F.col("neighbor_id")
+    cand = ivf_candidates(
+        corpus, queries, id_col, vec_col, n_clusters, nprobe, iterations
     )
     scored = cand.withColumn("cos_sim", cosine_expr(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(
