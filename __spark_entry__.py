@@ -1663,6 +1663,99 @@ def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source closeness centrality (gds.closeness family,
+    Eppstein-Wang pivot estimate) over the deterministic out-degree-2
+    graph q_weighted_sssp uses (minus the weights), pivots = docs 0-4,
+    6-hop cap. n_reached and total_dist are exact integers and
+    closeness is ONE IEEE division of the two, so the depth-capped
+    recursive-CTE oracle replays every column bit-for-bit."""
+    from bertseyeview_spark.operators.graph import closeness_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ea = docs.select(d.alias("src"), ((d * 37 + 11) % 500).alias("dst"))
+    eb = docs.select(d.alias("src"), ((d * 91 + 17) % 500).alias("dst"))
+    edges = ea.unionByName(eb).where(F.col("src") != F.col("dst"))
+    sources = docs.where(d < 5).select(d.alias("v"))
+    return closeness_centrality(edges, sources, max_hops=6)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): documents with
+    doc_id % 10 == 0 act as the in-domain target sample, the rest are
+    the raw pool; hashed unigram+bigram buckets (B=256, portable
+    md5-prefix hash) score each raw document by its add-one-smoothed
+    log importance ratio. The wrapper asks the operator for ALL 450
+    raw-pool ranks, then rounds the weight to 6 decimals and re-ranks
+    on the ROUNDED value (id tiebreak) before cutting top-50 — ln()
+    may differ in the last ulp between engines, so the rank boundary
+    and the compared weight must both sit on the rounded value (the
+    adamic_adar / lm_perplexity discipline)."""
+    from pyspark.sql import Window
+
+    from bertseyeview_spark.operators.sampling import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 10 == 0).alias("is_target")
+    )
+    w = dsir_select(
+        docs, "doc_id", "text", "is_target",
+        n_buckets=256, k=450, seed=7, portable=True,
+    )
+    rounded = w.select(
+        "id", F.round("dsir_weight", 6).alias("dsir_weight")
+    )
+    win = Window.orderBy(F.desc("dsir_weight"), F.asc("id"))
+    return (
+        rounded.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 50)
+        .select("id", "dsir_weight", "rank")
+    )
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line+page cleaning recipe. The synthetic corpus has no
+    newlines or punctuation, so the query plants a deterministic
+    7-line page per doc_id (the embedding_neardup planting pattern,
+    mirrored verbatim in the oracle): a line with no terminal
+    punctuation, a 2-word line, a javascript line on doc_id%3==0, a
+    'lorem ipsum' line on %7==0 and a curly-brace line on %5==0 —
+    exercising every line rule and both page rules, with c4_keep
+    varying across residue classes."""
+    from bertseyeview_spark.operators.textquality import c4_line_filter
+
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("Sentence one is here number "),
+            (d % 10).cast("string"),
+            F.lit("."),
+        ),
+        F.lit("   no terminal punctuation line"),
+        F.when(
+            d % 3 == 0,
+            F.lit("Please enable javascript to continue viewing."),
+        ).otherwise(F.lit("This line talks about regular content today.")),
+        F.lit("Too short."),
+        F.when(
+            d % 2 == 0,
+            F.lit("One more. Two more. Three more. Four more."),
+        ).otherwise(F.lit("Single sentence only here.")),
+        F.when(d % 7 == 0, F.lit("Lorem ipsum dolor sit amet.")).otherwise(
+            F.lit("Normal closing line for the page.")
+        ),
+        F.when(d % 5 == 0, F.lit("code { display none }")).otherwise(
+            F.lit("final words end here.")
+        ),
+    )
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return c4_line_filter(planted, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1678,17 +1771,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round the window holds (a) every new or changed query, then (b) the
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
     # query's freshest driver row ever ages past two rounds. This round (r6):
-    # weighted_sssp is new; text_chunking / substring_cut / repetition_signals
-    # / exact_substring_dedup sit on the changed norm_tokens empty-guard, so
+    # weighted_sssp / closeness_centrality / dsir_select / c4_line_filter are
+    # new; text_chunking / substring_cut / repetition_signals /
+    # exact_substring_dedup sit on the changed norm_tokens empty-guard, so
     # they stay in despite fresh r05 rows; then the 30 queries displaced in r5
-    # (newest row r04 — the oldest in the registry); the last 15 slots are
+    # (newest row r04 — the oldest in the registry); the last 12 slots are
     # r05-green fill prioritized by operators touched this round (tokenizer
-    # consumers, scale-stress + ANN-recall subjects, the flagship). The 31
+    # consumers, scale-stress + ANN-recall subjects, the flagship). The 34
     # displaced past the cutoff ALL hold all-green r05 rows (one round old)
     # and rotate back in r7.
     return {
         # -- new this round --
         "weighted_sssp": q_weighted_sssp,
+        "closeness_centrality": q_closeness_centrality,
+        "dsir_select": q_dsir_select,
+        "c4_line_filter": q_c4_line_filter,
         # -- changed this round (norm_tokens empty-document guard) --
         "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
@@ -1739,11 +1836,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,
         "token_heavy_hitters": q_token_heavy_hitters,
         "embedding_topk_cosine": q_embedding_topk_cosine,
+        # ---- 50-entry graded cutoff: everything below holds an
+        # ---- all-green r05 driver row and rotates back in r7
         "embedding_neardup": q_embedding_neardup,
         "dedup_representatives": q_dedup_representatives,
         "sequence_packing": q_sequence_packing,
-        # ---- 50-entry graded cutoff: everything below holds an
-        # ---- all-green r05 driver row and rotates back in r7
         "language_id": q_language_id,
         "quality_features": q_quality_features,
         "token_counts_by_source": q_token_counts_by_source,
@@ -2561,6 +2658,30 @@ walk(id, c, d) AS (
   WHERE w.d < 6
 )
 SELECT id::BIGINT AS id, min(c) AS cost FROM walk GROUP BY id
+""",
+        # closeness_centrality: per-source BFS min-hop (UNION dedups the
+        # walk state; min(d) per (source, vertex) = first-discovery hop),
+        # then exact integer count/sum per vertex and ONE IEEE division —
+        # the same depth-capped recursive-CTE replay as bfs_distances
+        "closeness_centrality": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 37 + 11) % 500 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 91 + 17) % 500 FROM documents
+  ) raw WHERE src <> dst
+),
+walk(s, id, d) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 5
+  UNION
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+  WHERE w.d < 6
+),
+sp AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)
+SELECT id::BIGINT AS id, count(*)::BIGINT AS n_reached,
+       sum(d)::BIGINT AS total_dist,
+       count(*)::DOUBLE / (sum(d)::BIGINT)::DOUBLE AS closeness
+FROM sp WHERE d > 0 GROUP BY id
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,
@@ -3406,5 +3527,118 @@ LEFT JOIN c2t USING (bgk)
 LEFT JOIN c1t ON split_part(b.bgk, ' ', 1) = c1t.w1
 CROSS JOIN vv
 GROUP BY b.id
+""",
+        # dsir_select: hashed unigram+bigram buckets via the portable
+        # 32-bit md5-prefix hash (== Spark conv(substring(md5,1,8),16,10)),
+        # the add-one-smoothed log ratio replayed with the identical float
+        # expression tree, and the per-document weight folded in BUCKET
+        # ORDER (list(term ORDER BY bucket) + list_sum == Spark's
+        # sort_array + aggregate fold) — then round(6) BEFORE ranking on
+        # both sides so a last-ulp ln() divergence cannot move the rank
+        # boundary (the adamic_adar / lm_perplexity discipline)
+        "dsir_select": r"""
+WITH toks AS (
+  SELECT doc_id AS id, doc_id % 10 = 0 AS is_t,
+         CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
+              THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
+         END AS t
+  FROM documents
+),
+grams AS (
+  SELECT id, is_t, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT id, is_t,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2
+),
+b AS (
+  SELECT id, is_t,
+         ('0x' || substr(md5(g || '#7'), 1, 8))::BIGINT % 256 AS bucket
+  FROM grams
+),
+tc AS (SELECT bucket, count(*)::DOUBLE AS ct FROM b WHERE is_t GROUP BY bucket),
+rc AS (SELECT bucket, count(*)::DOUBLE AS cr FROM b WHERE NOT is_t GROUP BY bucket),
+tots AS (
+  SELECT sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS tt,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END)::DOUBLE AS tr
+  FROM b
+),
+ratio AS (
+  SELECT rc.bucket,
+    ln(((coalesce(tc.ct, 0.0) + 1.0) / (tots.tt + 256.0))
+       / ((rc.cr + 1.0) / (tots.tr + 256.0))) AS lr
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tots
+),
+db AS (
+  SELECT id, bucket, count(*)::DOUBLE AS cnt
+  FROM b WHERE NOT is_t GROUP BY id, bucket
+),
+terms AS (
+  SELECT db.id, db.bucket, db.cnt * ratio.lr AS term
+  FROM db JOIN ratio ON db.bucket = ratio.bucket
+),
+wts AS (
+  SELECT id, round(list_sum(list(term ORDER BY bucket)), 6) AS dsir_weight
+  FROM terms GROUP BY id
+)
+SELECT id, dsir_weight, rank FROM (
+  SELECT id, dsir_weight,
+         row_number() OVER (ORDER BY dsir_weight DESC, id ASC) AS rank
+  FROM wts
+) WHERE rank <= 50
+""",
+        # c4_line_filter: the planted 7-line page is mirrored verbatim;
+        # DuckDB regexp_replace needs the 'g' flag to match Spark's
+        # replace-all, and array_to_string([]) is NULL where Spark's
+        # array_join is '' (the substring_cut pin), hence the coalesce
+        "c4_line_filter": r"""
+WITH planted AS (
+  SELECT doc_id AS id,
+    concat_ws(chr(10),
+      'Sentence one is here number ' || (doc_id % 10)::VARCHAR || '.',
+      '   no terminal punctuation line',
+      CASE WHEN doc_id % 3 = 0
+           THEN 'Please enable javascript to continue viewing.'
+           ELSE 'This line talks about regular content today.' END,
+      'Too short.',
+      CASE WHEN doc_id % 2 = 0
+           THEN 'One more. Two more. Three more. Four more.'
+           ELSE 'Single sentence only here.' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'Lorem ipsum dolor sit amet.'
+           ELSE 'Normal closing line for the page.' END,
+      CASE WHEN doc_id % 5 = 0
+           THEN 'code { display none }'
+           ELSE 'final words end here.' END
+    ) AS text
+  FROM documents
+),
+filt AS (
+  SELECT id, text,
+    coalesce(array_to_string(
+      list_filter(
+        list_transform(string_split(text, chr(10)),
+          c4l -> regexp_replace(c4l, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+        c4t -> regexp_matches(c4t, '[.!?"]$')
+           AND regexp_matches(c4t, '^[^ \t]+([ \t]+[^ \t]+){2,}')
+           AND NOT contains(lower(c4t), 'javascript')
+      ), chr(10)), '') AS clean_text,
+    len(string_split(text, chr(10)))::INT AS n_lines,
+    len(list_filter(
+        list_transform(string_split(text, chr(10)),
+          c4l -> regexp_replace(c4l, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+        c4t -> regexp_matches(c4t, '[.!?"]$')
+           AND regexp_matches(c4t, '^[^ \t]+([ \t]+[^ \t]+){2,}')
+           AND NOT contains(lower(c4t), 'javascript')
+      ))::INT AS n_kept_lines
+  FROM planted
+)
+SELECT id, clean_text, n_lines, n_kept_lines,
+  len(regexp_extract_all(clean_text, '[.!?]'))::INT AS n_sentences,
+  (len(regexp_extract_all(clean_text, '[.!?]')) >= 5
+   AND NOT contains(lower(text), 'lorem ipsum')
+   AND NOT contains(text, '{')) AS c4_keep
+FROM filt
 """,
     }

@@ -150,6 +150,126 @@ def temperature_rates(
     }
 
 
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 256,
+    k: int = 50,
+    seed: int = 7,
+    portable: bool = False,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick the raw-pool documents whose hashed
+    n-gram profile looks most like a small in-domain target sample.
+
+    ``target_col`` is a boolean column: true rows are the target
+    (in-domain) sample, false rows the raw pool being selected from.
+    Features are the paper's hashed n-grams — the unigram+bigram
+    multiset of each document, hashed into ``n_buckets`` buckets.
+    Bucket b gets a log importance ratio
+
+        lr_b = ln( ((ct_b + 1) / (Tt + B)) / ((cr_b + 1) / (Tr + B)) )
+
+    (add-one smoothed target vs raw gram distributions), and a raw
+    document's weight is sum over its buckets of count_b * lr_b. The
+    top ``k`` by weight are returned as (id, dsir_weight, rank) —
+    deterministic top-k in place of the paper's Gumbel resampling, the
+    same substitution every sampler in this module makes.
+
+    Distributed shape: gram rows come from the shared codegen window
+    builder (two corpus scans — target and raw — no interpreted HOF on
+    the scan); the two bucket histograms are B-row aggregates whose
+    ratio table BROADCASTS onto the per-document bucket counts, and the
+    per-document weight folds a bucket-sorted array (<= B entries) so
+    the float summation ORDER is deterministic — the same
+    sorted-fold discipline the embedding oracles rely on, which makes
+    the weight bit-replayable in any engine. One corpus-wide shuffle
+    (doc x bucket counts) + one B-row broadcast; top-k is
+    TakeOrderedAndProject. ``portable=True`` swaps xxhash64 for the
+    32-bit md5 prefix bucket hash (cross-engine audits, ~2x slower).
+
+    Documents that produce no grams (empty/whitespace-only text) have
+    no feature mass and are absent from the ranking by construction.
+    """
+    from .dedup import _token_windows
+
+    if portable:
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"#{seed}"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(n_buckets),
+        )
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.col("shingle"), F.lit(seed)), F.lit(n_buckets)
+        )
+
+    def grams(sub: DataFrame) -> DataFrame:
+        g = _token_windows(sub, id_col, text_col, 1).unionByName(
+            _token_windows(sub, id_col, text_col, 2)
+        )
+        return g.select("id", bucket.alias("bucket"))
+
+    tgt = grams(df.where(F.col(target_col)))
+    raw = grams(df.where(~F.col(target_col)))
+
+    b = float(n_buckets)
+    tc = tgt.groupBy("bucket").agg(F.count("*").cast("double").alias("ct"))
+    rc = raw.groupBy("bucket").agg(F.count("*").cast("double").alias("cr"))
+    tt = tgt.select(F.count("*").cast("double").alias("tt"))
+    tr = raw.select(F.count("*").cast("double").alias("tr"))
+    # raw-side buckets are the only ones a raw document can join to,
+    # so the ratio table is rc LEFT JOIN tc (target-only buckets are
+    # unreachable); both totals are broadcast 1-row scalars
+    ratio = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0.0)) + F.lit(1.0))
+                 / (F.col("tt") + F.lit(b)))
+                / ((F.col("cr") + F.lit(1.0)) / (F.col("tr") + F.lit(b)))
+            ).alias("lr"),
+        )
+    )
+    doc_buckets = raw.groupBy("id", "bucket").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    terms = doc_buckets.join(F.broadcast(ratio), "bucket").select(
+        "id", "bucket", (F.col("cnt") * F.col("lr")).alias("term")
+    )
+    folded = terms.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "term"))).alias("_ts")
+    )
+    # fold in bucket order — one expr so the lambda binds cleanly
+    weighted = folded.select(
+        "id",
+        F.expr(
+            "aggregate(_ts, CAST(0.0 AS DOUBLE),"
+            " (dsir_acc, dsir_s) -> dsir_acc + dsir_s.term)"
+        ).alias("dsir_weight"),
+    )
+    from pyspark.sql import Window
+
+    # orderBy + limit plans as TakeOrderedAndProject (per-partition
+    # heaps, no global single-partition sort); the rank window then
+    # orders only the k survivors
+    topk = weighted.orderBy(F.desc("dsir_weight"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("dsir_weight"), F.asc("id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "id", "dsir_weight", "rank"
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     strata_col: str,

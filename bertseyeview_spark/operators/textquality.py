@@ -329,6 +329,70 @@ def gopher_quality_flags(
     )
 
 
+def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 line+page cleaning recipe (Raffel et al. 2020, the
+    "Colossal Clean Crawled Corpus" heuristics), as one zero-shuffle
+    scan. Line rules — a line survives iff it ends in a terminal
+    punctuation mark ('.', '!', '?', '"'), has at least 3 words, and
+    does not mention "javascript" — and page rules: keep a page iff its
+    CLEANED text has >= 5 sentences and the original text contains
+    neither "lorem ipsum" nor a curly brace. (The published recipe's
+    remaining steps live elsewhere in this engine: the bad-words list
+    is a policy input to the same contains() machinery, and the
+    three-sentence-span corpus dedup is :func:`~..dedup.
+    exact_substring_spans`.) Returns every page annotated —
+    (id, clean_text, n_lines, n_kept_lines, n_sentences, c4_keep) —
+    filter-as-annotation like :func:`gopher_quality_flags`.
+
+    Distributed shape: the line filter is an in-place array
+    ``filter(transform(split(...)))`` on each row — a narrow map with
+    NO exchange, deliberately chosen over the explode + re-assemble
+    formulation whose groupBy would shuffle the ENTIRE corpus just to
+    glue lines back together. The interpreted-HOF penalty (~6x vs
+    codegen, measured on shingling) buys removal of a corpus-wide
+    shuffle — the right trade for a per-line predicate this cheap.
+    The whole nested HOF is ONE expr with unique lambda names (nested
+    pyspark lambda Columns mis-bind under projection collapse).
+    Regexes stay inside the RE2-safe subset (explicit char classes,
+    no lookaround) so the SQL oracle replays them exactly.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.expr(
+        "filter("
+        "  transform(split(coalesce(" + text_col + ", ''), '\n'),"
+        "            c4l -> regexp_replace(c4l, '^[ \\t\\r]+|[ \\t\\r]+$', '')),"
+        "  c4t -> c4t rlike '[.!?\"]$'"
+        "     AND c4t rlike '^[^ \\t]+([ \\t]+[^ \\t]+){2,}'"
+        "     AND NOT contains(lower(c4t), 'javascript'))"
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(text, "\n")).alias("n_lines"),
+        kept.alias("_kept"),
+        text.alias("_orig"),
+    ).select(
+        "id",
+        F.array_join(F.col("_kept"), "\n").alias("clean_text"),
+        "n_lines",
+        F.size("_kept").alias("n_kept_lines"),
+        "_orig",
+    )
+    n_sentences = F.regexp_count(F.col("clean_text"), F.lit(r"[.!?]"))
+    page_ok = (
+        (n_sentences >= 5)
+        & ~F.contains(F.lower(F.col("_orig")), F.lit("lorem ipsum"))
+        & ~F.contains(F.col("_orig"), F.lit("{"))
+    )
+    return base.select(
+        "id",
+        "clean_text",
+        "n_lines",
+        "n_kept_lines",
+        n_sentences.alias("n_sentences"),
+        page_ok.alias("c4_keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # host-level corpus profiling (web-corpus hygiene)
 # ---------------------------------------------------------------------------

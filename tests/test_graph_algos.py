@@ -320,3 +320,50 @@ def test_weighted_sssp_rejects_negative_weights(spark):
     sources = spark.createDataFrame([("a",)], ["v"])
     with pytest.raises(ValueError, match="non-negative"):
         weighted_shortest_paths(edges, sources, max_rounds=2)
+
+
+def test_closeness_centrality_hand_walked(spark):
+    """Hand-walked sampled-source closeness on a 4-node DAG: per-source
+    BFS hop counts, exact integer n_reached/total_dist, closeness as
+    their single IEEE division, and exclusion of the dist-0 self rows
+    (a source reached by ANOTHER source still scores)."""
+    from bertseyeview_spark.operators.graph import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([("a",), ("b",)], ["v"])
+    got = {
+        r["id"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        for r in closeness_centrality(edges, sources, max_hops=6).collect()
+    }
+    # from a: b@1 c@1 d@2; from b: c@1 d@2
+    assert got == {
+        "b": (1, 1, 1.0),          # source b's own 0-row excluded
+        "c": (2, 2, 1.0),
+        "d": (2, 4, 0.5),
+    }
+    # 'a' has no in-edges -> never reached -> absent
+    assert "a" not in got
+
+
+def test_closeness_centrality_hop_cap_and_cycle(spark):
+    from bertseyeview_spark.operators.graph import closeness_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "a")], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([("a",)], ["v"])
+    # hop cap 1: only b is reached
+    got1 = {
+        r["id"]: (r["n_reached"], r["total_dist"])
+        for r in closeness_centrality(edges, sources, max_hops=1).collect()
+    }
+    assert got1 == {"b": (1, 1)}
+    # cycle back to the source does NOT resurface a (settled at dist 0,
+    # excluded from scoring) even though b->a exists
+    got = {
+        r["id"]: (r["n_reached"], r["total_dist"])
+        for r in closeness_centrality(edges, sources, max_hops=6).collect()
+    }
+    assert got == {"b": (1, 1), "c": (1, 2)}

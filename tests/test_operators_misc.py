@@ -617,3 +617,139 @@ def test_chunk_text_hand_computed(spark):
     }
     with pytest.raises(ValueError, match="overlap"):
         chunk_text(df, "doc_id", "text", size=8, overlap=8)
+
+
+def _py_dsir_weights(docs, targets, n_buckets=256, seed=7):
+    """Pure-python replay of the DSIR score with the portable bucket
+    hash: hashed unigram+bigram counts, add-one smoothed log ratio."""
+    import hashlib
+    import math
+    import re
+
+    def grams(text):
+        t = text.strip().lower()
+        if re.fullmatch(r"[ \t\n\x0b\f\r]*", t):
+            return []
+        tk = re.split(r"[ \t\n\x0b\f\r]+", t)
+        return tk + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(g):
+        h = hashlib.md5((g + f"#{seed}").encode()).hexdigest()
+        return int(h[:8], 16) % n_buckets
+
+    tc, rc = {}, {}
+    per_doc = {}
+    for did, text in targets.items():
+        for g in grams(text):
+            tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+    for did, text in docs.items():
+        buckets = {}
+        for g in grams(text):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+            buckets[b] = buckets.get(b, 0) + 1
+        per_doc[did] = buckets
+    tt, tr, nb = float(sum(tc.values())), float(sum(rc.values())), float(n_buckets)
+    out = {}
+    for did, buckets in per_doc.items():
+        if not buckets:
+            continue
+        w = 0.0
+        for b in sorted(buckets):
+            lr = math.log(
+                ((tc.get(b, 0) + 1.0) / (tt + nb))
+                / ((rc[b] + 1.0) / (tr + nb))
+            )
+            w += buckets[b] * lr
+        out[did] = w
+    return out
+
+
+def test_dsir_select_vs_python(spark):
+    """dsir_select with the portable hash matches a pure-python replay
+    of Xie et al.'s hashed-ngram importance weights; the target-like
+    raw doc outranks the off-domain one, and an empty doc is absent."""
+    from bertseyeview_spark.operators.sampling import dsir_select
+
+    targets = {100: "the cat sat on the mat", 101: "the cat ran fast"}
+    raws = {
+        1: "the cat sat on the mat",   # identical to a target doc
+        2: "dog barks loud tonight",   # fully off-domain
+        3: "the cat naps here",        # partial overlap
+        4: "   ",                      # whitespace-only -> no grams
+    }
+    rows = [(k, v, True) for k, v in targets.items()] + [
+        (k, v, False) for k, v in raws.items()
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_target"])
+    got = {
+        r["id"]: (r["dsir_weight"], r["rank"])
+        for r in dsir_select(
+            df, "doc_id", "text", "is_target", k=10, portable=True
+        ).collect()
+    }
+    want = _py_dsir_weights(raws, targets)
+    assert set(got) == set(want)          # doc 4 absent on both sides
+    for did, w in want.items():
+        assert got[did][0] == pytest.approx(w, rel=1e-12), did
+    order = [d for d, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert order[0] == 1 and order[-1] == 2
+    # xxhash64 mode ranks the clearly-separated docs identically
+    got_xx = {
+        r["id"]: r["rank"]
+        for r in dsir_select(
+            df, "doc_id", "text", "is_target", k=10, portable=False
+        ).collect()
+    }
+    assert got_xx[1] == 1 and got_xx[2] == 3
+
+
+def test_c4_line_filter_hand_computed(spark):
+    """Each C4 line rule (terminal punctuation, >=3 words, javascript)
+    and both page rules (>=5 sentences on CLEANED text, lorem-ipsum /
+    curly-brace on ORIGINAL text), plus the empty/null-text edges."""
+    from bertseyeview_spark.operators.textquality import c4_line_filter
+
+    page = "\n".join([
+        "Good line number one is here.",
+        "short line with no punctuation",
+        "Tiny.",
+        "All about javascript stuff today.",
+        "   Padded line with spaces ends well.   ",
+        "Another proper sentence appears right here!",
+        "Is this a question? Yes it is.",
+    ])
+    rows = [
+        (0, page),
+        (1, page + "\nlorem ipsum dolor sit amet."),
+        (2, page + "\ncss rules { float none }"),
+        (3, ""),
+        (4, None),
+        (5, "One. Two good ones. Three here. Four now. Five ends."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: r.asDict()
+        for r in c4_line_filter(df, "doc_id", "text").collect()
+    }
+    assert got[0]["clean_text"] == "\n".join([
+        "Good line number one is here.",
+        "Padded line with spaces ends well.",
+        "Another proper sentence appears right here!",
+        "Is this a question? Yes it is.",
+    ])
+    assert got[0]["n_lines"] == 7
+    assert got[0]["n_kept_lines"] == 4
+    assert got[0]["n_sentences"] == 5
+    assert got[0]["c4_keep"] is True
+    # page rules fire on the ORIGINAL text even when the offending
+    # line itself is dropped or kept
+    assert got[1]["c4_keep"] is False          # lorem ipsum
+    assert got[2]["c4_keep"] is False          # curly brace
+    assert got[3] == {
+        "id": 3, "clean_text": "", "n_lines": 1, "n_kept_lines": 0,
+        "n_sentences": 0, "c4_keep": False,
+    }
+    assert got[4]["clean_text"] == "" and got[4]["c4_keep"] is False
+    # single line, 10 words, 5 sentences -> passes everything
+    assert got[5]["n_kept_lines"] == 1 and got[5]["c4_keep"] is True

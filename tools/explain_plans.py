@@ -54,6 +54,10 @@ QUERIES = [
     ("warc_roundtrip", "one Arrow pass per WARC blob (binaryFile granularity); no per-record Python round trips; md5/length computed JVM-side on the parsed payloads"),
     ("text_chunking", "zero-shuffle: one codegen projection + posexplode of a closed-form per-doc chunk grid"),
     ("semdedup", "k-means centroids as broadcast literals (one scan/iteration); size-guarded cluster equi-join for pairs; delegate collapse via (cluster, nv) window"),
+    ("weighted_sssp", "Bellman-Ford frontier relaxation: per round ONE frontier-edge equi-join + grouped min-merge against the settled costs (a later discovery can be cheaper, unlike BFS first-discovery); parallel edges min-collapsed once up front"),
+    ("closeness_centrality", "per-source BFS keyed (source, vertex): per hop ONE frontier-edge equi-join + dedup + left-anti settled probe; state is |sample| x |reach| — the pivot-sampling knob that keeps closeness linear at scale; final grouped count/sum + one division"),
+    ("dsir_select", "hashed-ngram importance weights: codegen window build, two B-row bucket histograms whose log-ratio table BROADCASTS onto per-doc bucket counts; one corpus shuffle (doc x bucket) + bucket-ordered fold; top-k as TakeOrderedAndProject"),
+    ("c4_line_filter", "zero-shuffle narrow map: line rules as an in-place filter(transform(split)) HOF (trades interpreted-HOF cost for removing a corpus-wide explode+regroup shuffle); page rules as codegen'd regexp_count/contains"),
 ]
 
 
