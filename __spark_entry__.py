@@ -1756,6 +1756,92 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(planted, "doc_id", "text")
 
 
+def q_anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile over a planted 3-out link graph:
+    anchors drawn from a 6-phrase table where two spellings normalize
+    to the same string (case + inner-whitespace collapse) and one is
+    whitespace-only (dropped), so normalization, the empty filter, the
+    (count desc, anchor asc) rank order, and the k=2 cutoff are all
+    load-bearing. Counts are exact integers — bit-replayable."""
+    from bertseyeview_spark.operators.weblinks import anchor_text_topk
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    phrases = F.array(
+        F.lit("Entity Alpha"), F.lit("entity  alpha"), F.lit("Beta Node "),
+        F.lit("the beta node"), F.lit("Gamma Hub"), F.lit("   "),
+    )
+    parts = []
+    for j, (m, c) in enumerate([(37, 11), (91, 17), (53, 29)]):
+        parts.append(
+            docs.select(
+                ((d * m + c) % 500).alias("dst"),
+                F.element_at(phrases, ((d + F.lit(j)) % 6 + 1).cast("int"))
+                .alias("anchor"),
+            )
+        )
+    links = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return anchor_text_topk(links, "dst", "anchor", k=2)
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parse + gate for agent 'bevbot' over 12 planted
+    hosts x 5 planted paths. The robots bodies exercise the REP group
+    rules end-to-end: pre-group rules (ignored), mixed-case keys and
+    comments, a two-User-agent-line group, a named-agent group that
+    SUPPRESSES the '*' group (hn%3==0), and an empty-Disallow group
+    (hn%5==0 -> everything allowed); urls on doc_id%7==0 arrive with
+    uppercase scheme/host, userinfo, and an explicit port to exercise
+    host canonicalization. The oracle derives the expected rule set
+    ANALYTICALLY from the plant (not by re-parsing), so the Spark
+    parse stage is verified against an independent derivation."""
+    from bertseyeview_spark.operators.weblinks import (
+        parse_robots,
+        robots_filter,
+    )
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    hn = d % 12
+    hostname = F.concat(F.lit("h"), hn.cast("string"))
+    body = F.concat(
+        F.when(
+            hn % 4 == 0,
+            F.lit("# pre-group rules are ignored\nDisallow: /early-ignored/\n"),
+        ).otherwise(F.lit("")),
+        F.lit("User-Agent: *\nDISALLOW: /private/  # comment\nAllow: /private/ok\n"),
+        F.when(
+            hn % 3 == 0,
+            F.lit(
+                "User-agent: bevbot\nUser-agent: otherbot\n"
+                "Disallow: /bev/\nAllow: /bev/pub/\n"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            hn % 5 == 0, F.lit("User-agent: bevbot\nDisallow:\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = docs.where(d < 12).select(
+        hostname.alias("host"), body.alias("robots_txt")
+    )
+    rules = parse_robots(robots, "host", "robots_txt", agent="bevbot")
+    path = (
+        F.when(d % 5 == 0, F.lit("/private/secret"))
+        .when(d % 5 == 1, F.lit("/private/ok/page"))
+        .when(d % 5 == 2, F.lit("/bev/data"))
+        .when(d % 5 == 3, F.lit("/bev/pub/x"))
+        .otherwise(F.lit("/open/page"))
+    )
+    url = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit("HTTPS://crawler@H"), hn.cast("string"), F.lit(":8080"), path
+        ),
+    ).otherwise(F.concat(F.lit("https://h"), hn.cast("string"), path))
+    urls = docs.select(url.alias("url"))
+    return robots_filter(urls, rules, "url")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1771,21 +1857,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round the window holds (a) every new or changed query, then (b) the
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
     # query's freshest driver row ever ages past two rounds. This round (r6):
-    # weighted_sssp / closeness_centrality / dsir_select / c4_line_filter are
-    # new; text_chunking / substring_cut / repetition_signals /
-    # exact_substring_dedup sit on the changed norm_tokens empty-guard, so
-    # they stay in despite fresh r05 rows; then the 30 queries displaced in r5
-    # (newest row r04 — the oldest in the registry); the last 12 slots are
-    # r05-green fill prioritized by operators touched this round (tokenizer
-    # consumers, scale-stress + ANN-recall subjects, the flagship). The 34
-    # displaced past the cutoff ALL hold all-green r05 rows (one round old)
-    # and rotate back in r7.
+    # weighted_sssp / closeness_centrality / dsir_select / c4_line_filter /
+    # anchor_text_topk / robots_filter are new; text_chunking /
+    # substring_cut / repetition_signals / exact_substring_dedup sit on the
+    # changed norm_tokens empty-guard, so they stay in despite fresh r05
+    # rows; then the 30 queries displaced in r5 (newest row r04 — the oldest
+    # in the registry); the last 10 slots are r05-green fill prioritized by
+    # operators touched this round (tokenizer consumers, scale-stress +
+    # ANN-recall subjects, the flagship). The 36 displaced past the cutoff
+    # ALL hold all-green r05 rows (one round old) and rotate back in r7.
     return {
         # -- new this round --
         "weighted_sssp": q_weighted_sssp,
         "closeness_centrality": q_closeness_centrality,
         "dsir_select": q_dsir_select,
         "c4_line_filter": q_c4_line_filter,
+        "anchor_text_topk": q_anchor_text_topk,
+        "robots_filter": q_robots_filter,
         # -- changed this round (norm_tokens empty-document guard) --
         "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
@@ -1833,11 +1921,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "warc_roundtrip": q_warc_roundtrip,
-        "lm_perplexity": q_lm_perplexity,
-        "token_heavy_hitters": q_token_heavy_hitters,
         "embedding_topk_cosine": q_embedding_topk_cosine,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r05 driver row and rotates back in r7
+        "lm_perplexity": q_lm_perplexity,
+        "token_heavy_hitters": q_token_heavy_hitters,
         "embedding_neardup": q_embedding_neardup,
         "dedup_representatives": q_dedup_representatives,
         "sequence_packing": q_sequence_packing,
@@ -3640,5 +3728,95 @@ SELECT id, clean_text, n_lines, n_kept_lines,
    AND NOT contains(lower(text), 'lorem ipsum')
    AND NOT contains(text, '{')) AS c4_keep
 FROM filt
+""",
+        # anchor_text_topk: same plant, same normalization (lower ->
+        # trim -> whitespace-collapse with the explicit Java-\s class),
+        # exact integer counts, total (count desc, anchor asc) rank order
+        "anchor_text_topk": r"""
+WITH ph(pi, a) AS (VALUES
+  (0, 'Entity Alpha'), (1, 'entity  alpha'), (2, 'Beta Node '),
+  (3, 'the beta node'), (4, 'Gamma Hub'), (5, '   ')),
+l0 AS (
+  SELECT (doc_id * 37 + 11) % 500 AS id, (doc_id + 0) % 6 AS pi FROM documents
+  UNION ALL
+  SELECT (doc_id * 91 + 17) % 500, (doc_id + 1) % 6 FROM documents
+  UNION ALL
+  SELECT (doc_id * 53 + 29) % 500, (doc_id + 2) % 6 FROM documents
+),
+norm AS (
+  SELECT id,
+         regexp_replace(trim(lower(a)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS anchor
+  FROM l0 JOIN ph USING (pi)
+),
+pairs AS (
+  SELECT id, anchor, count(*)::BIGINT AS n_mentions
+  FROM norm WHERE anchor <> '' GROUP BY id, anchor
+),
+tot AS (
+  SELECT id, sum(n_mentions)::BIGINT AS n_inlinks,
+         count(*)::BIGINT AS n_unique_anchors
+  FROM pairs GROUP BY id
+),
+rk AS (
+  SELECT id, anchor, n_mentions,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY n_mentions DESC, anchor ASC) AS rank
+  FROM pairs
+)
+SELECT rk.id, tot.n_inlinks, tot.n_unique_anchors, rk.rank, rk.anchor,
+       rk.n_mentions
+FROM rk JOIN tot USING (id) WHERE rank <= 2
+""",
+        # robots_filter: the expected rule set is derived ANALYTICALLY
+        # from the plant structure (a bevbot group exists iff hn%3=0 or
+        # hn%5=0, suppressing the '*' group; only the hn%3=0 group
+        # carries rules; pre-group and empty-Disallow lines contribute
+        # nothing) — so the Spark-side robots PARSER is checked against
+        # an independent derivation, not a mirrored re-parse. Matching
+        # precedence (longest prefix, allow wins ties) is replayed.
+        "robots_filter": r"""
+WITH hosts AS (SELECT DISTINCT doc_id % 12 AS hn FROM documents),
+rules AS (
+  SELECT 'h' || hn::VARCHAR AS host, 'disallow' AS rule,
+         '/private/' AS path_prefix
+  FROM hosts WHERE hn % 3 <> 0 AND hn % 5 <> 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'allow', '/private/ok'
+  FROM hosts WHERE hn % 3 <> 0 AND hn % 5 <> 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'disallow', '/bev/' FROM hosts WHERE hn % 3 = 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'allow', '/bev/pub/' FROM hosts WHERE hn % 3 = 0
+),
+urls AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+           THEN 'HTTPS://crawler@H' || (doc_id % 12)::VARCHAR || ':8080' || p
+           ELSE 'https://h' || (doc_id % 12)::VARCHAR || p END AS url,
+         'h' || (doc_id % 12)::VARCHAR AS host,
+         p AS path
+  FROM (
+    SELECT doc_id, CASE doc_id % 5
+      WHEN 0 THEN '/private/secret'
+      WHEN 1 THEN '/private/ok/page'
+      WHEN 2 THEN '/bev/data'
+      WHEN 3 THEN '/bev/pub/x'
+      ELSE '/open/page' END AS p
+    FROM documents
+  )
+),
+best AS (
+  SELECT url, matched_rule, matched_prefix FROM (
+    SELECT u.url, r.rule AS matched_rule, r.path_prefix AS matched_prefix,
+      row_number() OVER (PARTITION BY u.url
+        ORDER BY length(r.path_prefix) DESC, (r.rule = 'allow') DESC,
+                 r.path_prefix ASC, r.rule ASC) AS rn
+    FROM (SELECT DISTINCT url, host, path FROM urls) u
+    JOIN rules r ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+  ) WHERE rn = 1
+)
+SELECT u.url, u.host, u.path,
+       (b.matched_rule IS NULL OR b.matched_rule = 'allow') AS allowed,
+       b.matched_rule, b.matched_prefix
+FROM urls u LEFT JOIN best b ON u.url = b.url
 """,
     }

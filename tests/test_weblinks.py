@@ -1,0 +1,121 @@
+"""Anchor-text aggregation and robots.txt parse/gate (the web-link
+operators a crawl-scale KG pipeline needs beyond the reference's
+citation graph)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bertseyeview_spark.operators.weblinks import (
+    anchor_text_topk,
+    parse_robots,
+    robots_filter,
+)
+
+
+def test_anchor_text_topk_normalization_and_rank(spark):
+    links = spark.createDataFrame(
+        [
+            ("t1", "Click Here"), ("t1", "click  here"), ("t1", "Docs"),
+            ("t1", "docs"), ("t1", "docs "), ("t1", "  "),
+            ("t2", "alpha"), ("t2", "beta"),
+        ],
+        ["dst", "anchor"],
+    )
+    got = {
+        (r["id"], r["rank"]): (
+            r["anchor"], r["n_mentions"], r["n_inlinks"],
+            r["n_unique_anchors"],
+        )
+        for r in anchor_text_topk(links, "dst", "anchor", k=2).collect()
+    }
+    # whitespace-only anchor dropped; case + inner-space variants merge
+    assert got == {
+        ("t1", 1): ("docs", 3, 5, 2),
+        ("t1", 2): ("click here", 2, 5, 2),
+        # tie on count -> lexicographic anchor order
+        ("t2", 1): ("alpha", 1, 2, 2),
+        ("t2", 2): ("beta", 1, 2, 2),
+    }
+    # min_count drops singleton anchors BEFORE ranking and totals
+    got2 = {
+        (r["id"], r["rank"]): (r["anchor"], r["n_inlinks"])
+        for r in anchor_text_topk(
+            links, "dst", "anchor", k=2, min_count=2
+        ).collect()
+    }
+    assert got2 == {("t1", 1): ("docs", 5), ("t1", 2): ("click here", 5)}
+    with pytest.raises(ValueError, match="k"):
+        anchor_text_topk(links, "dst", "anchor", k=0)
+
+
+ROBOTS = """Disallow: /pre/
+User-agent: *
+Disallow: /a/
+User-Agent: BevBot
+User-agent: other
+Allow: /b/ok
+Disallow: /b/   # trailing comment
+DISALLOW:
+
+User-agent: *
+Disallow: /c/
+"""
+
+
+def test_parse_robots_group_semantics(spark):
+    df = spark.createDataFrame([("h", ROBOTS)], ["host", "robots_txt"])
+    # named agent: ONLY the BevBot/other group applies ('*' suppressed);
+    # the pre-group rule and the empty Disallow contribute nothing
+    named = {
+        (r["rule"], r["path_prefix"])
+        for r in parse_robots(df, "host", "robots_txt", agent="bevbot").collect()
+    }
+    assert named == {("allow", "/b/ok"), ("disallow", "/b/")}
+    # unknown agent: both '*' groups apply
+    star = {
+        (r["rule"], r["path_prefix"])
+        for r in parse_robots(df, "host", "robots_txt", agent="nobody").collect()
+    }
+    assert star == {("disallow", "/a/"), ("disallow", "/c/")}
+    # agent matching is case-insensitive on both sides
+    upper = {
+        r["path_prefix"]
+        for r in parse_robots(df, "host", "robots_txt", agent="BEVBOT").collect()
+    }
+    assert upper == {"/b/ok", "/b/"}
+
+
+def test_robots_filter_precedence(spark):
+    rules = spark.createDataFrame(
+        [
+            ("h", "disallow", "/p/"), ("h", "allow", "/p/o"),
+            ("h", "disallow", "/p/ok"),
+            ("h", "allow", "/t/"), ("h", "disallow", "/t/"),
+        ],
+        ["host", "rule", "path_prefix"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://h/p/okay",),          # longest prefix /p/ok -> disallow
+            ("https://h/p/other",),         # /p/o allow beats /p/ disallow
+            ("https://h/t/x",),             # equal length -> allow wins
+            ("https://h/free",),            # no match -> allowed, NULLs
+            ("https://elsewhere/p/okay",),  # host without rules -> allowed
+            ("HTTP://User@H:8080/p/okay",), # userinfo/port/case stripped
+            ("https://h",),                 # empty path -> '/'
+        ],
+        ["url"],
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_rule"], r["matched_prefix"], r["path"])
+        for r in robots_filter(urls, rules, "url").collect()
+    }
+    assert got["https://h/p/okay"] == (False, "disallow", "/p/ok", "/p/okay")
+    assert got["https://h/p/other"] == (True, "allow", "/p/o", "/p/other")
+    assert got["https://h/t/x"] == (True, "allow", "/t/", "/t/x")
+    assert got["https://h/free"] == (True, None, None, "/free")
+    assert got["https://elsewhere/p/okay"][0] is True
+    assert got["HTTP://User@H:8080/p/okay"] == (
+        False, "disallow", "/p/ok", "/p/okay"
+    )
+    assert got["https://h"] == (True, None, None, "/")

@@ -58,6 +58,8 @@ QUERIES = [
     ("closeness_centrality", "per-source BFS keyed (source, vertex): per hop ONE frontier-edge equi-join + dedup + left-anti settled probe; state is |sample| x |reach| — the pivot-sampling knob that keeps closeness linear at scale; final grouped count/sum + one division"),
     ("dsir_select", "hashed-ngram importance weights: codegen window build, two B-row bucket histograms whose log-ratio table BROADCASTS onto per-doc bucket counts; one corpus shuffle (doc x bucket) + bucket-ordered fold; top-k as TakeOrderedAndProject"),
     ("c4_line_filter", "zero-shuffle narrow map: line rules as an in-place filter(transform(split)) HOF (trades interpreted-HOF cost for removing a corpus-wide explode+regroup shuffle); page rules as codegen'd regexp_count/contains"),
+    ("anchor_text_topk", "ONE (target, anchor) grouped count with map-side combine (shuffle carries pre-aggregated pairs, not links); totals as a second agg on the same key; top-k window over UNIQUE anchors per target, bounded by anchor vocabulary not in-degree"),
+    ("robots_filter", "parse = posexplode + two per-host windows (lag group-start + running-sum group id, gaps-and-islands); gate = ONE host equi-join (rules side broadcast-sized at crawl scale, AQE skew split on boilerplate hosts) + per-url longest-match window over a robots-file-sized candidate set"),
 ]
 
 
