@@ -1842,6 +1842,41 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, rules, "url")
 
 
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-level exact dedup over planted 6-line pages:
+    a corpus-wide boilerplate line on doc_id%3==0 (half of them in a
+    case/double-space spelling that must normalize onto the same
+    hash), a shared footer on %5==0, an intra-document duplicate pair,
+    a whitespace-only line (never deduped), and unique lines. The
+    canonical (min (id, pos)) occurrence survives; everything is
+    integer counts + reassembled strings, so the oracle (which dedups
+    on the normalized unit STRING rather than its hash — same
+    equivalence classes) replays it exactly."""
+    from bertseyeview_spark.operators.dedup import dedup_paragraphs
+
+    d = F.col("doc_id")
+    text = F.concat_ws(
+        "\n",
+        F.concat(F.lit("Unique opening for document "), d.cast("string")),
+        F.when(
+            d % 3 == 0,
+            F.when(
+                d % 2 == 0, F.lit("Subscribe to our newsletter today.")
+            ).otherwise(F.lit("SUBSCRIBE  to our  newsletter today.")),
+        ).otherwise(F.concat(F.lit("Body line for "), d.cast("string"))),
+        F.lit("   "),
+        F.concat(F.lit("Repeated intra line "), d.cast("string")),
+        F.concat(F.lit("Repeated intra line "), d.cast("string")),
+        F.when(
+            d % 5 == 0, F.lit("Shared footer across the corpus.")
+        ).otherwise(F.concat(F.lit("Footer for "), d.cast("string"))),
+    )
+    planted = _t(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text")
+    )
+    return dedup_paragraphs(planted, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1858,14 +1893,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
     # query's freshest driver row ever ages past two rounds. This round (r6):
     # weighted_sssp / closeness_centrality / dsir_select / c4_line_filter /
-    # anchor_text_topk / robots_filter are new; text_chunking /
-    # substring_cut / repetition_signals / exact_substring_dedup sit on the
-    # changed norm_tokens empty-guard, so they stay in despite fresh r05
-    # rows; then the 30 queries displaced in r5 (newest row r04 — the oldest
-    # in the registry); the last 10 slots are r05-green fill prioritized by
-    # operators touched this round (tokenizer consumers, scale-stress +
-    # ANN-recall subjects, the flagship). The 36 displaced past the cutoff
-    # ALL hold all-green r05 rows (one round old) and rotate back in r7.
+    # anchor_text_topk / robots_filter / dedup_paragraphs are new;
+    # text_chunking / substring_cut / repetition_signals /
+    # exact_substring_dedup sit on the changed norm_tokens empty-guard, so
+    # they stay in despite fresh r05 rows; then the 30 queries displaced in
+    # r5 (newest row r04 — the oldest in the registry); the last 9 slots are
+    # r05-green fill prioritized by operators touched this round (tokenizer
+    # consumers, scale-stress + ANN-recall subjects, the flagship). The 37
+    # displaced past the cutoff ALL hold all-green r05 rows (one round old)
+    # and rotate back in r7.
     return {
         # -- new this round --
         "weighted_sssp": q_weighted_sssp,
@@ -1874,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "anchor_text_topk": q_anchor_text_topk,
         "robots_filter": q_robots_filter,
+        "dedup_paragraphs": q_dedup_paragraphs,
         # -- changed this round (norm_tokens empty-document guard) --
         "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
@@ -1921,9 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "warc_roundtrip": q_warc_roundtrip,
-        "embedding_topk_cosine": q_embedding_topk_cosine,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r05 driver row and rotates back in r7
+        "embedding_topk_cosine": q_embedding_topk_cosine,
         "lm_perplexity": q_lm_perplexity,
         "token_heavy_hitters": q_token_heavy_hitters,
         "embedding_neardup": q_embedding_neardup,
@@ -3818,5 +3855,54 @@ SELECT u.url, u.host, u.path,
        (b.matched_rule IS NULL OR b.matched_rule = 'allow') AS allowed,
        b.matched_rule, b.matched_prefix
 FROM urls u LEFT JOIN best b ON u.url = b.url
+""",
+        # dedup_paragraphs: the oracle dedups on the NORMALIZED UNIT
+        # STRING (same equivalence classes as the engine's xxhash64 of
+        # it), canonical = row_number over (id, pos); whitespace-only
+        # units bypass dedup; reassembly is string_agg in position order
+        "dedup_paragraphs": r"""
+WITH parts AS (
+  SELECT doc_id AS id, concat_ws(chr(10),
+    'Unique opening for document ' || doc_id::VARCHAR,
+    CASE WHEN doc_id % 3 = 0 THEN
+      CASE WHEN doc_id % 2 = 0 THEN 'Subscribe to our newsletter today.'
+           ELSE 'SUBSCRIBE  to our  newsletter today.' END
+      ELSE 'Body line for ' || doc_id::VARCHAR END,
+    '   ',
+    'Repeated intra line ' || doc_id::VARCHAR,
+    'Repeated intra line ' || doc_id::VARCHAR,
+    CASE WHEN doc_id % 5 = 0 THEN 'Shared footer across the corpus.'
+         ELSE 'Footer for ' || doc_id::VARCHAR END
+  ) AS text FROM documents
+),
+lists AS (SELECT id, string_split(text, chr(10)) AS l FROM parts),
+win AS (SELECT id, l, unnest(generate_series(1, len(l))) AS i FROM lists),
+units AS (
+  SELECT id, i - 1 AS pos, l[i] AS unit,
+         regexp_replace(trim(lower(l[i])), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nrm
+  FROM win
+),
+canon AS (
+  SELECT id AS cid, pos AS cpos, nrm FROM (
+    SELECT id, pos, nrm,
+           row_number() OVER (PARTITION BY nrm ORDER BY id, pos) AS rn
+    FROM units WHERE nrm <> ''
+  ) WHERE rn = 1
+),
+kept AS (
+  SELECT u.id, u.pos, u.unit
+  FROM units u LEFT JOIN canon c ON u.nrm = c.nrm
+  WHERE u.nrm = '' OR (u.id = c.cid AND u.pos = c.cpos)
+),
+stats AS (SELECT id, count(*)::BIGINT AS n_paragraphs FROM units GROUP BY id),
+rebuilt AS (
+  SELECT id, string_agg(unit, chr(10) ORDER BY pos) AS clean_text,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY id
+)
+SELECT s.id, coalesce(r.clean_text, '') AS clean_text, s.n_paragraphs,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       (s.n_paragraphs - coalesce(r.n_kept, 0))::BIGINT AS n_dropped
+FROM stats s LEFT JOIN rebuilt r ON s.id = r.id
 """,
     }

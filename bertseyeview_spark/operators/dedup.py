@@ -989,3 +989,90 @@ def cut_repeated_spans(
         F.size("_t").alias("n_tokens"),
         (F.size("_t") - F.size(kept)).alias("n_tokens_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph/line-level exact dedup (CCNet / RefinedWeb recipe)
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph (or line) deduplication — the CCNet
+    preprocessing stage (RefinedWeb runs the same recipe at line
+    granularity): split each document on ``sep``, hash a NORMALIZED
+    form of every unit (lowercase, trim, inner whitespace collapsed —
+    the same normalization family CCNet hashes), keep only the
+    CANONICAL occurrence of each duplicated unit (minimal (id, pos) —
+    the substring_cut canonicalization rule at paragraph granularity),
+    and reassemble. Whitespace-only units carry no content and are
+    never treated as duplicates of each other: they survive in every
+    document (dropping them would silently reflow unrelated text).
+
+    Returns (id, clean_text, n_paragraphs, n_kept, n_dropped) for
+    every input document; a document whose every unit was a
+    non-canonical duplicate comes back with clean_text = ''.
+
+    Distributed shape: posexplode to (id, pos, unit) rows, ONE
+    grouped min-struct per normalized unit (map-side combined; keyed
+    on the unit hash, so AQE's skew split covers boilerplate
+    paragraphs — the same key discipline as exact_substring_spans),
+    one broadcast-free equi-join back on the hash, and ONE per-doc
+    regroup ordered by position to reassemble. Both shuffles carry
+    64-bit hashes + positions, never full paragraph text twice.
+
+    Reference for semantics: CCNet (Wenzek et al. 2020) §3.1
+    paragraph dedup; RefinedWeb (Penedo et al. 2023) line-level
+    exact dedup.
+    """
+    units = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "unit"),
+    )
+    norm = F.regexp_replace(F.trim(F.lower(F.col("unit"))), r"\s+", " ")
+    hashed = units.select(
+        "id", "pos", "unit",
+        F.when(norm == "", F.lit(None)).otherwise(
+            F.xxhash64(norm, F.lit(11))
+        ).alias("h"),
+    )
+    canon = (
+        hashed.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+        .select("h", F.col("first.id").alias("cid"),
+                F.col("first.pos").alias("cpos"))
+    )
+    kept = hashed.join(canon, "h", "left").where(
+        F.col("h").isNull()
+        | ((F.col("id") == F.col("cid")) & (F.col("pos") == F.col("cpos")))
+    )
+    stats = hashed.groupBy("id").agg(
+        F.count("*").alias("n_paragraphs")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        stats.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_paragraphs",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("n_paragraphs") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
+        )
+    )

@@ -647,3 +647,37 @@ def test_ivf_topk_clustered_full_recall_at_nprobe1(spark):
         ).collect()
     }
     assert got_all == exact
+
+
+def test_dedup_paragraphs_ccnet_semantics(spark):
+    """CCNet/RefinedWeb paragraph dedup: canonical (min (id,pos))
+    occurrence survives, normalization merges case/whitespace
+    spellings, whitespace-only units are never deduped, fully-duplicate
+    docs come back empty, null text behaves as one empty unit."""
+    from bertseyeview_spark.operators.dedup import dedup_paragraphs
+
+    rows = [
+        (1, "alpha line\nBOILER  plate\nunique one"),
+        (2, "boiler plate\nunique two\nboiler plate"),
+        (3, "boiler plate"),
+        (4, "   \nboiler plate\n   "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (
+            r["clean_text"], r["n_paragraphs"], r["n_kept"], r["n_dropped"]
+        )
+        for r in dedup_paragraphs(df, "doc_id", "text").collect()
+    }
+    assert got[1] == ("alpha line\nBOILER  plate\nunique one", 3, 3, 0)
+    assert got[2] == ("unique two", 3, 1, 2)
+    assert got[3] == ("", 1, 0, 1)
+    assert got[4] == ("   \n   ", 3, 2, 1)
+    assert got[5] == ("", 1, 1, 0)
+    # paragraph granularity via sep: intra-doc duplicate paragraph cut
+    df6 = spark.createDataFrame(
+        [(6, "para one\n\npara one")], ["doc_id", "text"]
+    )
+    got6 = dedup_paragraphs(df6, "doc_id", "text", sep="\n\n").collect()[0]
+    assert (got6["clean_text"], got6["n_kept"]) == ("para one", 1)

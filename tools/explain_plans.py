@@ -60,6 +60,7 @@ QUERIES = [
     ("c4_line_filter", "zero-shuffle narrow map: line rules as an in-place filter(transform(split)) HOF (trades interpreted-HOF cost for removing a corpus-wide explode+regroup shuffle); page rules as codegen'd regexp_count/contains"),
     ("anchor_text_topk", "ONE (target, anchor) grouped count with map-side combine (shuffle carries pre-aggregated pairs, not links); totals as a second agg on the same key; top-k window over UNIQUE anchors per target, bounded by anchor vocabulary not in-degree"),
     ("robots_filter", "parse = posexplode + two per-host windows (lag group-start + running-sum group id, gaps-and-islands); gate = ONE host equi-join (rules side broadcast-sized at crawl scale, AQE skew split on boilerplate hosts) + per-url longest-match window over a robots-file-sized candidate set"),
+    ("dedup_paragraphs", "CCNet paragraph dedup: posexplode units, ONE grouped min-struct per unit hash (map-side combined, AQE skew split on boilerplate keys), hash equi-join back, ONE per-doc regroup for reassembly; shuffles carry 64-bit hashes + positions"),
 ]
 
 
