@@ -1877,6 +1877,25 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(planted, "doc_id", "text")
 
 
+def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source Brandes betweenness on the same deterministic
+    out-degree-2 graph / 5-pivot sample as q_closeness_centrality.
+    sigma is an exact integer throughout; the dependency sums are
+    float folds rounded to 6 decimals on BOTH engines (the adamic_adar
+    discipline). The oracle enumerates shortest paths as individual
+    recursive-CTE walk rows (count(*) at min depth == sigma) and
+    unrolls the Brandes backward accumulation one CTE per depth."""
+    from bertseyeview_spark.operators.graph import betweenness_centrality
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ea = docs.select(d.alias("src"), ((d * 37 + 11) % 500).alias("dst"))
+    eb = docs.select(d.alias("src"), ((d * 91 + 17) % 500).alias("dst"))
+    edges = ea.unionByName(eb).where(F.col("src") != F.col("dst"))
+    sources = docs.where(d < 5).select(d.alias("v"))
+    return betweenness_centrality(edges, sources, max_hops=6)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1892,16 +1911,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round the window holds (a) every new or changed query, then (b) the
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
     # query's freshest driver row ever ages past two rounds. This round (r6):
-    # weighted_sssp / closeness_centrality / dsir_select / c4_line_filter /
-    # anchor_text_topk / robots_filter / dedup_paragraphs are new;
-    # text_chunking / substring_cut / repetition_signals /
-    # exact_substring_dedup sit on the changed norm_tokens empty-guard, so
-    # they stay in despite fresh r05 rows; then the 30 queries displaced in
-    # r5 (newest row r04 — the oldest in the registry); the last 9 slots are
-    # r05-green fill prioritized by operators touched this round (tokenizer
-    # consumers, scale-stress + ANN-recall subjects, the flagship). The 37
-    # displaced past the cutoff ALL hold all-green r05 rows (one round old)
-    # and rotate back in r7.
+    # weighted_sssp / closeness_centrality / betweenness_centrality /
+    # dsir_select / c4_line_filter / anchor_text_topk / robots_filter /
+    # dedup_paragraphs are new; text_chunking / substring_cut /
+    # repetition_signals / exact_substring_dedup sit on the changed
+    # norm_tokens empty-guard, so they stay in despite fresh r05 rows; then
+    # the 30 queries displaced in r5 (newest row r04 — the oldest in the
+    # registry); the last 8 slots are r05-green fill prioritized by
+    # operators touched this round (tokenizer consumers, scale-stress +
+    # ANN-recall subjects, the flagship). The 38 displaced past the cutoff
+    # ALL hold all-green r05 rows (one round old) and rotate back in r7.
     return {
         # -- new this round --
         "weighted_sssp": q_weighted_sssp,
@@ -1911,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_topk": q_anchor_text_topk,
         "robots_filter": q_robots_filter,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "betweenness_centrality": q_betweenness_centrality,
         # -- changed this round (norm_tokens empty-document guard) --
         "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
@@ -1957,9 +1977,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
-        "warc_roundtrip": q_warc_roundtrip,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r05 driver row and rotates back in r7
+        "warc_roundtrip": q_warc_roundtrip,
         "embedding_topk_cosine": q_embedding_topk_cosine,
         "lm_perplexity": q_lm_perplexity,
         "token_heavy_hitters": q_token_heavy_hitters,
@@ -2807,6 +2827,82 @@ SELECT id::BIGINT AS id, count(*)::BIGINT AS n_reached,
        sum(d)::BIGINT AS total_dist,
        count(*)::DOUBLE / (sum(d)::BIGINT)::DOUBLE AS closeness
 FROM sp WHERE d > 0 GROUP BY id
+""",
+        # betweenness_centrality: shortest paths enumerated as individual
+        # walk rows (UNION ALL keeps one row per distinct edge sequence;
+        # minimal-depth walks are exactly the shortest paths, so count(*)
+        # at min depth == sigma, an exact integer), then the Brandes
+        # backward accumulation unrolled one CTE per depth; dependency
+        # sums rounded to 6dp on both sides (float fold order differs)
+        "betweenness_centrality": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 37 + 11) % 500 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 91 + 17) % 500 FROM documents
+  ) raw WHERE src <> dst
+),
+walk(s, v, d) AS (
+  SELECT doc_id, doc_id, 0 FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v
+  WHERE w.d < 6
+),
+sp AS (SELECT s, v, min(d) AS d FROM walk GROUP BY s, v),
+sg AS (
+  SELECT w.s, w.v, sp.d, count(*)::BIGINT AS sigma
+  FROM walk w JOIN sp ON sp.s = w.s AND sp.v = w.v AND sp.d = w.d
+  GROUP BY w.s, w.v, sp.d
+),
+d6 AS (SELECT s, v, sigma, 0.0::DOUBLE AS delta FROM sg WHERE d = 6),
+d5 AS (
+  SELECT p.s, p.v, p.sigma,
+    coalesce(sum((p.sigma::DOUBLE / w.sigma::DOUBLE) * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT * FROM sg WHERE d = 5) p
+  LEFT JOIN e ON e.src = p.v
+  LEFT JOIN d6 w ON w.s = p.s AND w.v = e.dst
+  GROUP BY p.s, p.v, p.sigma
+),
+d4 AS (
+  SELECT p.s, p.v, p.sigma,
+    coalesce(sum((p.sigma::DOUBLE / w.sigma::DOUBLE) * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT * FROM sg WHERE d = 4) p
+  LEFT JOIN e ON e.src = p.v
+  LEFT JOIN d5 w ON w.s = p.s AND w.v = e.dst
+  GROUP BY p.s, p.v, p.sigma
+),
+d3 AS (
+  SELECT p.s, p.v, p.sigma,
+    coalesce(sum((p.sigma::DOUBLE / w.sigma::DOUBLE) * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT * FROM sg WHERE d = 3) p
+  LEFT JOIN e ON e.src = p.v
+  LEFT JOIN d4 w ON w.s = p.s AND w.v = e.dst
+  GROUP BY p.s, p.v, p.sigma
+),
+d2 AS (
+  SELECT p.s, p.v, p.sigma,
+    coalesce(sum((p.sigma::DOUBLE / w.sigma::DOUBLE) * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT * FROM sg WHERE d = 2) p
+  LEFT JOIN e ON e.src = p.v
+  LEFT JOIN d3 w ON w.s = p.s AND w.v = e.dst
+  GROUP BY p.s, p.v, p.sigma
+),
+d1 AS (
+  SELECT p.s, p.v, p.sigma,
+    coalesce(sum((p.sigma::DOUBLE / w.sigma::DOUBLE) * (1.0 + w.delta)), 0.0) AS delta
+  FROM (SELECT * FROM sg WHERE d = 1) p
+  LEFT JOIN e ON e.src = p.v
+  LEFT JOIN d2 w ON w.s = p.s AND w.v = e.dst
+  GROUP BY p.s, p.v, p.sigma
+)
+SELECT id::BIGINT AS id, round(sum(delta), 6) AS betweenness FROM (
+  SELECT v AS id, delta FROM d1
+  UNION ALL SELECT v, delta FROM d2
+  UNION ALL SELECT v, delta FROM d3
+  UNION ALL SELECT v, delta FROM d4
+  UNION ALL SELECT v, delta FROM d5
+  UNION ALL SELECT v, delta FROM d6
+) GROUP BY id
 """,
         "kg_pagerank": pagerank_sql,
         "random_walks": walks_sql,

@@ -680,3 +680,120 @@ def closeness_centrality(
             ).alias("closeness"),
         )
     )
+
+
+def betweenness_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+) -> DataFrame:
+    """Sampled-source betweenness centrality — Brandes' algorithm
+    (Brandes 2001) restricted to a pivot sample, the published way to
+    make betweenness affordable (Brandes-Pich 2007): C_B(v) =
+    sum over sampled sources s != v of the dependency delta_s(v).
+
+    Forward phase: the same level-synchronous per-source BFS as
+    :func:`closeness_centrality`, additionally accumulating the exact
+    shortest-path COUNT sigma as a grouped integer sum per hop (every
+    shortest-path predecessor of a depth-h vertex sits at depth h-1,
+    so summing sigma over the discovering frontier is exact — the
+    textbook level-synchronous recurrence). sigma stays integer all
+    the way (bigint; with the hop cap H it is bounded by out_deg^H).
+
+    Backward phase: dependencies unroll depth-by-depth from the hop
+    cap down — per level ONE reversed edge join of the depth-h delta
+    rows onto their depth-(h-1) shortest-path predecessors and a
+    grouped sum of (sigma_v / sigma_w) * (1 + delta_w), the Brandes
+    accumulation. A fixed ``max_hops`` keeps both phases statically
+    unrollable (the depth-capped recursive-CTE + per-depth-CTE oracle
+    replays them); the returned score is ROUNDED to 6 decimals on both
+    engines because the dependency sums are genuine float folds whose
+    addition order differs across partitionings (the adamic_adar /
+    lm_perplexity rounding discipline — float error ~1e-15 of value,
+    rounding step 1e-6).
+
+    Returns (id, betweenness) for every vertex reached at hop >= 1 by
+    at least one source (leaves legitimately score 0.0). Semantics
+    note: scores are with-respect-to-the-sample (no extrapolation
+    factor n/|sample| is applied — multiply externally if an estimate
+    of the full-graph score is wanted, per Brandes-Pich).
+
+    Distributed shape: per hop/level ONE equi-join + one grouped sum,
+    state keyed (source, vertex) — |sample| x |reach| like closeness;
+    localCheckpoint every 3 levels flattens the looped lineage.
+    """
+    e = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    src_col = sources.columns[0]
+    dist = sources.select(
+        F.col(src_col).alias("s"),
+        F.col(src_col).alias("id"),
+        F.lit(0).alias("d"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).distinct()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        new = (
+            frontier.select(
+                "s", F.col("id").alias("_fid"), F.col("sigma").alias("_fsig")
+            )
+            .join(e, F.col("_fid") == F.col("src"))
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.sum("_fsig").cast("bigint").alias("sigma"))
+            .join(dist.select("s", "id"), ["s", "id"], "left_anti")
+            .select("s", "id", F.lit(h).alias("d"), "sigma")
+        )
+        dist = dist.unionByName(new)
+        frontier = new
+        if h % 3 == 0:
+            dist = dist.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    cur = dist.withColumn("delta", F.lit(0.0))
+    for h in range(max_hops, 0, -1):
+        # rename every column before the joins: cur's lineage already
+        # contains e after the forward loop (the bfs_distances /
+        # closeness ambiguity hazard)
+        succ = cur.where(F.col("d") == h).select(
+            F.col("s").alias("_ws"),
+            F.col("id").alias("_w"),
+            F.col("sigma").alias("_wsig"),
+            F.col("delta").alias("_wdelta"),
+        )
+        preds = cur.where(F.col("d") == h - 1).select(
+            F.col("s").alias("_vs"),
+            F.col("id").alias("_v"),
+            F.col("sigma").alias("_vsig"),
+        )
+        contrib = (
+            succ.join(e, F.col("_w") == F.col("dst"))
+            .join(
+                preds,
+                (F.col("src") == F.col("_v"))
+                & (F.col("_ws") == F.col("_vs")),
+            )
+            .select(
+                F.col("_vs").alias("s"),
+                F.col("_v").alias("id"),
+                (
+                    (F.col("_vsig").cast("double") / F.col("_wsig").cast("double"))
+                    * (F.lit(1.0) + F.col("_wdelta"))
+                ).alias("_term"),
+            )
+            .groupBy("s", "id")
+            .agg(F.sum("_term").alias("_add"))
+        )
+        cur = (
+            cur.join(contrib, ["s", "id"], "left")
+            .withColumn(
+                "delta", F.col("delta") + F.coalesce(F.col("_add"), F.lit(0.0))
+            )
+            .drop("_add")
+        )
+        if h % 3 == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.where(F.col("d") > 0)
+        .groupBy("id")
+        .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
+    )

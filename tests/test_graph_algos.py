@@ -367,3 +367,43 @@ def test_closeness_centrality_hop_cap_and_cycle(spark):
         for r in closeness_centrality(edges, sources, max_hops=6).collect()
     }
     assert got == {"b": (1, 1), "c": (1, 2)}
+
+
+def test_betweenness_hand_computed(spark):
+    """Textbook diamond: s->a,b; a,b->c; c->t. sigma(c)=2 via two
+    shortest paths; Brandes dependencies delta(a)=delta(b)=(1/2)(1+1)=1,
+    delta(c)=(2/2)(1+0)=1, delta(t)=0."""
+    from bertseyeview_spark.operators.graph import betweenness_centrality
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "c"), ("b", "c"), ("c", "t")],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([("s",)], ["v"])
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(edges, sources, max_hops=6).collect()
+    }
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0, "t": 0.0}
+
+
+def test_betweenness_multi_source_and_cap(spark):
+    from bertseyeview_spark.operators.graph import betweenness_centrality
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([("a",), ("b",)], ["v"])
+    # from a: delta(b)=(1)(1+delta(c))= (1)(1+1)=2, delta(c)=1, d=0
+    # from b: delta(c)=1, delta(d)=0
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(edges, sources, max_hops=6).collect()
+    }
+    assert got == {"b": 2.0, "c": 2.0, "d": 0.0}
+    # hop cap 1: no two-hop shortest paths exist, every dependency is 0
+    got1 = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(edges, sources, max_hops=1).collect()
+    }
+    assert got1 == {"b": 0.0, "c": 0.0}
