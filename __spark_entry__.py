@@ -2045,7 +2045,7 @@ def oracle_sql() -> dict[str, str]:
 
     jaccard_cte = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -2117,7 +2117,7 @@ rtoks AS (
   SELECT id,
          CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
               THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
+              ELSE string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')
          END AS t
   FROM rbase
 ),
@@ -2735,7 +2735,7 @@ FROM pts p LEFT JOIN comp ON p.id = comp.id
         "text_chunking": r"""
 WITH toks AS (
   SELECT doc_id AS id,
-         string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS t
+         string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
   FROM documents WHERE NOT regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
 ),
 cnt AS (
@@ -2942,7 +2942,7 @@ FROM documents GROUP BY source
         # string ids, so the comparison is lexicographic on both sides)
         "dedup_representatives": """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
+  SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') t FROM documents
 ),
 sh AS (
   SELECT doc_id, unnest(list_distinct(
@@ -3115,7 +3115,7 @@ sh AS (
   SELECT id, unnest(list_distinct(
     list_transform(range(1, greatest(len(t) - 1, 1)),
                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-  FROM (SELECT id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') t
+  FROM (SELECT id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') t
         FROM surv) s
   WHERE len(t) >= 3
 ),
@@ -3514,7 +3514,7 @@ FROM cnt ORDER BY cnt DESC, v LIMIT 20
         # running max of span ends, exactly mirroring the Spark window
         "exact_substring_dedup": r"""
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+') AS t
+  SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 win AS (
@@ -3559,7 +3559,7 @@ WITH toks AS (
   SELECT doc_id AS id,
          CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
               THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
+              ELSE string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')
          END AS t
   FROM documents
 ),
@@ -3700,7 +3700,7 @@ SELECT n_nationkey + 100, 'insert' FROM nation WHERE n_nationkey < 5
 """,
         "decontamination": """
 WITH toks AS (
-  SELECT doc_id AS id, string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') AS t
+  SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+') AS t
   FROM documents
 ),
 sh AS (
@@ -3726,7 +3726,7 @@ WITH toks AS (
   SELECT doc_id AS id,
          CASE WHEN regexp_matches(text, '^[ \\t\\n\\x0B\\f\\r]*$')
               THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')
+              ELSE string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')
          END AS t
   FROM documents
 ),
@@ -3762,7 +3762,7 @@ WITH toks AS (
   SELECT doc_id AS id, doc_id % 10 = 0 AS is_t,
          CASE WHEN regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
               THEN []::VARCHAR[]
-              ELSE string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')
+              ELSE string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')
          END AS t
   FROM documents
 ),
@@ -3878,7 +3878,7 @@ l0 AS (
 ),
 norm AS (
   SELECT id,
-         regexp_replace(trim(lower(a)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS anchor
+         trim(regexp_replace(lower(a), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS anchor
   FROM l0 JOIN ph USING (pi)
 ),
 pairs AS (
@@ -3975,7 +3975,7 @@ lists AS (SELECT id, string_split(text, chr(10)) AS l FROM parts),
 win AS (SELECT id, l, unnest(generate_series(1, len(l))) AS i FROM lists),
 units AS (
   SELECT id, i - 1 AS pos, l[i] AS unit,
-         regexp_replace(trim(lower(l[i])), '[ \t\n\x0B\f\r]+', ' ', 'g') AS nrm
+         trim(regexp_replace(lower(l[i]), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS nrm
   FROM win
 ),
 canon AS (

@@ -1031,10 +1031,24 @@ def dedup_paragraphs(
     units = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            # sep is a LITERAL separator on both sides of the round
+            # trip (F.split takes a regex, array_join a literal), so
+            # escape regex metacharacters — sep='.' would otherwise
+            # split on every character (r6 review finding)
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "".join(
+                    "\\" + ch if ch in "\\.[]{}()*+?^$|" else ch
+                    for ch in sep
+                ),
+            )
         ).alias("pos", "unit"),
     )
-    norm = F.regexp_replace(F.trim(F.lower(F.col("unit"))), r"\s+", " ")
+    # collapse BEFORE trimming: trim() strips only 0x20, so a tab-only
+    # separator line would otherwise normalize to ' ' (non-empty) and
+    # get deduped corpus-wide, silently fusing unrelated paragraphs in
+    # non-canonical documents (r6 review finding)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("unit")), r"\s+", " "))
     hashed = units.select(
         "id", "pos", "unit",
         F.when(norm == "", F.lit(None)).otherwise(

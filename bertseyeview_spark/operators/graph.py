@@ -571,8 +571,14 @@ def weighted_shortest_paths(
         .groupBy("src", "dst")
         .agg(F.min("_w").alias("_w"))
     )
-    # limit(1) keeps the validation probe O(first match), not a full agg
-    if e.where(F.col("_w") < 0).limit(1).count() > 0:
+    # validate on the RAW edge column (negative min-collapsed weight
+    # iff a negative raw weight exists): a scan + limit(1), no shuffle
+    # — probing e would pay the min-collapse groupBy twice, once here
+    # and once uncached in round 1 (r6 review finding)
+    neg = edges.where(
+        F.col(weight_col).cast("double") < 0
+    ).limit(1).count()
+    if neg > 0:
         raise ValueError("weighted_shortest_paths requires non-negative weights")
     src_col = sources.columns[0]
     dist = sources.select(

@@ -84,14 +84,19 @@ def norm_tokens(text_col: str | Column) -> Column:
     :func:`~..dedup.cut_repeated_spans` (``n_tokens=1``); the guard
     pins token count 0 for empty documents everywhere. "Whitespace"
     here is the explicit Java-``\\s`` class ``[ \\t\\n\\x0B\\f\\r]``
-    (trim() strips only 0x20, so a tab/CRLF-only document would
-    otherwise split to phantom empty tokens — caught by the unicode
-    fuzz suite); Unicode spaces (NBSP etc.) are NOT separators, so an
-    NBSP-only document is one real token, not empty."""
+    EVERYWHERE, including the edge strip: trim() removes only 0x20, so
+    a leading/trailing tab or CRLF would otherwise split to a phantom
+    empty first/last token (``'\\tfoo' -> ['', 'foo']``) that inflates
+    token counts and pollutes windows — both degenerate (whole-doc)
+    and edge cases are caught by the unicode fuzz suite. Unicode
+    spaces (NBSP etc.) are NOT separators, so an NBSP-only document is
+    one real token, not empty."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = F.trim(F.lower(c))
+    t = F.regexp_replace(
+        F.lower(c), "^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$", ""
+    )
     return F.when(
-        t.rlike("^[ \t\n\x0B\f\r]*$"), F.array().cast("array<string>")
+        (t.isNull()) | (F.length(t) == 0), F.array().cast("array<string>")
     ).otherwise(F.split(t, r"\s+"))
 
 
@@ -551,11 +556,12 @@ def lm_perplexity(
     model_bg = bigrams(model_docs, id_col)
     c2 = model_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = model_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # vocab over the SAME tokenizer as the bigrams (norm_tokens) — a
+    # drifted copy here counted a phantom '' token for edge-whitespace
+    # documents (r6 review finding)
     vocab = (
         model_docs.select(
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("tok")
+            F.explode(norm_tokens(text_col)).alias("tok")
         )
         .agg(F.count_distinct("tok").alias("v"))
     )

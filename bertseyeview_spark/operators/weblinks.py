@@ -57,8 +57,11 @@ def anchor_text_topk(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    norm = F.regexp_replace(
-        F.trim(F.lower(F.col(anchor_col))), _WS, " "
+    # collapse BEFORE trimming: trim() strips only 0x20, so a
+    # tab/newline-padded anchor would otherwise survive as ' ' or
+    # ' foo' and fragment counts (r6 review finding)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(anchor_col)), _WS, " ")
     )
     pairs = (
         links.select(F.col(dst_col).alias("id"), norm.alias("anchor"))

@@ -681,3 +681,32 @@ def test_dedup_paragraphs_ccnet_semantics(spark):
     )
     got6 = dedup_paragraphs(df6, "doc_id", "text", sep="\n\n").collect()[0]
     assert (got6["clean_text"], got6["n_kept"]) == ("para one", 1)
+
+
+def test_dedup_paragraphs_review_edges(spark):
+    """r6 review findings: tab-only separator lines are never deduped
+    (collapse-before-trim normalization), edge-tab spellings of the
+    same paragraph DO dedup, and a regex-metacharacter separator is
+    treated literally."""
+    from bertseyeview_spark.operators.dedup import dedup_paragraphs
+
+    rows = [(1, "aaa\n\t\nbbb"), (2, "ccc\n\t\nddd"), (3, "\tboiler"),
+            (4, "boiler")]
+    got = {
+        r["id"]: (r["clean_text"], r["n_dropped"])
+        for r in dedup_paragraphs(
+            spark.createDataFrame(rows, ["doc_id", "text"]), "doc_id", "text"
+        ).collect()
+    }
+    assert got[1] == ("aaa\n\t\nbbb", 0)
+    assert got[2] == ("ccc\n\t\nddd", 0)      # '\t' line survives in BOTH
+    assert got[3] == ("\tboiler", 0)          # canonical (id 3 < 4)
+    assert got[4] == ("", 1)                  # edge-tab spelling deduped
+    # sep is literal: '.' must not split on every character
+    got6 = dedup_paragraphs(
+        spark.createDataFrame([(6, "a.b.a")], ["doc_id", "text"]),
+        "doc_id", "text", sep=".",
+    ).collect()[0]
+    assert (got6["clean_text"], got6["n_paragraphs"], got6["n_kept"]) == (
+        "a.b", 3, 2
+    )

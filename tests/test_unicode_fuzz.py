@@ -271,3 +271,22 @@ def test_extraction_byte_identity_on_unicode_html(spark):
     for i, (url, _, html_bytes, _) in enumerate(rows):
         expected, _links = extract_one(html_bytes)
         assert got[url].encode("utf-8") == expected.encode("utf-8"), url
+
+
+def test_norm_tokens_edge_whitespace(spark):
+    """r6 review finding: trim() strips only 0x20, so edge tabs/CRLF
+    used to leave phantom empty tokens ('\\tfoo' -> ['', 'foo']). The
+    edge strip now uses the full pinned class on both engines."""
+    from bertseyeview_spark.operators.textquality import norm_tokens
+
+    rows = [(0, "\tfoo"), (1, "foo\t"), (2, "\t"), (3, "\r\nfoo bar\r\n"),
+            (4, None), (5, NBSP)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", norm_tokens("text").alias("t")).collect()
+    }
+    assert got == {
+        0: ["foo"], 1: ["foo"], 2: [], 3: ["foo", "bar"],
+        4: [], 5: [NBSP],  # NBSP is not whitespace: one real token
+    }

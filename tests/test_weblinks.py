@@ -119,3 +119,19 @@ def test_robots_filter_precedence(spark):
         False, "disallow", "/p/ok", "/p/okay"
     )
     assert got["https://h"] == (True, None, None, "/")
+
+
+def test_anchor_text_edge_whitespace(spark):
+    """r6 review finding: tab/newline-padded anchors must merge with
+    their clean spelling, and whitespace-only anchors of ANY kind
+    (not just 0x20) are dropped."""
+    links = spark.createDataFrame(
+        [("t", "\tfoo"), ("t", "foo"), ("t", "foo\n"), ("t", "\t"),
+         ("t", " \r\n ")],
+        ["dst", "anchor"],
+    )
+    got = anchor_text_topk(links, "dst", "anchor", k=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["anchor"], r["n_mentions"], r["n_inlinks"],
+            r["n_unique_anchors"]) == ("foo", 3, 3, 1)
