@@ -2825,7 +2825,8 @@ walk(s, id, d) AS (
 sp AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)
 SELECT id::BIGINT AS id, count(*)::BIGINT AS n_reached,
        sum(d)::BIGINT AS total_dist,
-       count(*)::DOUBLE / (sum(d)::BIGINT)::DOUBLE AS closeness
+       count(*)::DOUBLE / (sum(d)::BIGINT)::DOUBLE AS closeness,
+       (sum(2520 // d)::BIGINT)::DOUBLE / 2520.0 AS harmonic
 FROM sp WHERE d > 0 GROUP BY id
 """,
         # betweenness_centrality: shortest paths enumerated as individual

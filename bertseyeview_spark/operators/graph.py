@@ -630,7 +630,13 @@ def closeness_centrality(
     ``closeness = n_reached / total_dist`` (the inverse mean distance
     from the sample — one IEEE division of two exact integers, so the
     score is bit-replayable in any engine; self-distances are excluded
-    so a source's own row does not deflate its mean).
+    so a source's own row does not deflate its mean). ``harmonic`` is
+    the harmonic-centrality variant (sum of 1/d — the form that
+    handles disconnected reach gracefully), computed EXACTLY: with
+    ``max_hops <= 6`` every 1/d is replayed as the integer 2520/d
+    (2520 = lcm(1..9), so hop caps up to 9 stay exact) summed as a
+    bigint, then ONE division by 2520 — the same
+    integer-sums-then-one-division discipline as ``closeness``.
 
     Distributed shape: the same level-synchronous frontier relaxation
     as :func:`bfs_distances` with the state keyed by (source, vertex)
@@ -669,12 +675,15 @@ def closeness_centrality(
         if h % 3 == 0:
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
+    if max_hops > 9:
+        raise ValueError("max_hops > 9 breaks the exact harmonic sum")
     return (
         dist.where(F.col("dist") > 0)
         .groupBy("id")
         .agg(
             F.count("*").alias("n_reached"),
             F.sum("dist").cast("bigint").alias("total_dist"),
+            F.sum(F.expr("2520 div dist")).cast("bigint").alias("_hnum"),
         )
         .select(
             "id",
@@ -684,6 +693,9 @@ def closeness_centrality(
                 F.col("n_reached").cast("double")
                 / F.col("total_dist").cast("double")
             ).alias("closeness"),
+            (F.col("_hnum").cast("double") / F.lit(2520.0)).alias(
+                "harmonic"
+            ),
         )
     )
 

@@ -165,3 +165,40 @@ def test_bm25_codegen_term_filter_plan(spark):
     # the explode exists and the term filter is a plain In/InSet predicate
     assert "Generate explode" in plan
     assert "term" in plan and (" IN " in plan or "INSET" in plan.upper())
+
+
+def test_c4_line_filter_plan_has_no_exchange(spark, sf_dir):
+    """The C4 recipe's whole point of the in-place array-HOF
+    formulation is removing the explode + corpus-wide regroup: the
+    physical plan must contain NO exchange of any kind."""
+    import __spark_entry__ as E
+
+    df = E.queries()["c4_line_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_plan_broadcast_ratio_and_topk(spark, sf_dir):
+    """DSIR's scale shape: the B-row log-ratio table broadcasts onto
+    the per-document bucket counts (never a shuffle join against the
+    corpus side), and the top-k is TakeOrderedAndProject, not a global
+    sort of all weights."""
+    import __spark_entry__ as E
+
+    df = E.queries()["dsir_select"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anchor_paragraph_plans_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as E
+
+    for q in ("anchor_text_topk", "dedup_paragraphs", "robots_filter"):
+        plan = (
+            E.queries()[q](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, q

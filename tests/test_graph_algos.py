@@ -334,14 +334,16 @@ def test_closeness_centrality_hand_walked(spark):
     )
     sources = spark.createDataFrame([("a",), ("b",)], ["v"])
     got = {
-        r["id"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        r["id"]: (
+            r["n_reached"], r["total_dist"], r["closeness"], r["harmonic"]
+        )
         for r in closeness_centrality(edges, sources, max_hops=6).collect()
     }
-    # from a: b@1 c@1 d@2; from b: c@1 d@2
+    # from a: b@1 c@1 d@2; from b: c@1 d@2; harmonic = sum of 1/d
     assert got == {
-        "b": (1, 1, 1.0),          # source b's own 0-row excluded
-        "c": (2, 2, 1.0),
-        "d": (2, 4, 0.5),
+        "b": (1, 1, 1.0, 1.0),     # source b's own 0-row excluded
+        "c": (2, 2, 1.0, 2.0),
+        "d": (2, 4, 0.5, 1.0),     # 1/2 + 1/2
     }
     # 'a' has no in-edges -> never reached -> absent
     assert "a" not in got

@@ -67,6 +67,11 @@ SUBJECTS = [
     "exact_substring_dedup",
     "substring_cut",
     "semdedup",
+    # r6 additions: the two new corpus-wide operators whose load grows
+    # with document count (the graph/centrality additions are bounded
+    # by their pivot sample, so sf is not their scaling axis)
+    "dedup_paragraphs",
+    "dsir_select",
 ]
 
 
