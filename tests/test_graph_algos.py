@@ -409,3 +409,99 @@ def test_betweenness_multi_source_and_cap(spark):
         for r in betweenness_centrality(edges, sources, max_hops=1).collect()
     }
     assert got1 == {"b": 0.0, "c": 0.0}
+
+
+def _py_bfs(edges, sources, max_hops):
+    """Reference per-source BFS: {(s, v): (dist, sigma)}."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for h in range(1, max_hops + 1):
+            nxt = {}
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0) + sigma[v]
+            for w, sg in nxt.items():
+                dist[w] = h
+                sigma[w] = sg
+            frontier = list(nxt)
+        for v, d in dist.items():
+            out[(s, v)] = (d, sigma[v])
+    return out
+
+
+def _py_brandes(edges, sources, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    sp = _py_bfs(edges, sources, max_hops)
+    bc = {}
+    for s in sources:
+        dist = {v: d for (ss, v), (d, _) in sp.items() if ss == s}
+        sigma = {v: g for (ss, v), (_, g) in sp.items() if ss == s}
+        delta = {v: 0.0 for v in dist}
+        for v in sorted(dist, key=lambda x: -dist[x]):
+            for w in adj.get(v, ()):
+                if w in dist and dist[w] == dist[v] + 1:
+                    delta[v] += (sigma[v] / sigma[w]) * (1 + delta[w])
+        for v in dist:
+            if v != s:
+                bc[v] = bc.get(v, 0.0) + delta[v]
+    return bc
+
+
+def test_centralities_vs_bruteforce_random_graphs(spark):
+    """Brandes betweenness, closeness, and harmonic against a pure
+    python reference on seeded random digraphs — beyond the hand-walked
+    cases, this sweeps shapes with cycles, multi-parents (sigma > 1),
+    unreachable islands, and source-to-source paths."""
+    import random
+
+    from bertseyeview_spark.operators.graph import (
+        betweenness_centrality,
+        closeness_centrality,
+    )
+
+    for seed in (3, 17, 99):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(18)]
+        edges = set()
+        while len(edges) < 36:
+            a, b = rng.sample(nodes, 2)
+            edges.add((a, b))
+        edges = sorted(edges)
+        sources = nodes[:4]
+        e_df = spark.createDataFrame(edges, ["src", "dst"])
+        s_df = spark.createDataFrame([(s,) for s in sources], ["v"])
+
+        sp = _py_bfs(edges, sources, max_hops=6)
+        want_close = {}
+        for (s, v), (d, _) in sp.items():
+            if d > 0:
+                n, t, h = want_close.get(v, (0, 0, 0))
+                want_close[v] = (n + 1, t + d, h + 2520 // d)
+        got_close = {
+            r["id"]: r
+            for r in closeness_centrality(e_df, s_df, max_hops=6).collect()
+        }
+        assert set(got_close) == set(want_close), seed
+        for v, (n, t, h) in want_close.items():
+            r = got_close[v]
+            assert (r["n_reached"], r["total_dist"]) == (n, t), (seed, v)
+            assert r["closeness"] == n / t, (seed, v)
+            assert r["harmonic"] == h / 2520.0, (seed, v)
+
+        want_bc = _py_brandes(edges, sources, max_hops=6)
+        got_bc = {
+            r["id"]: r["betweenness"]
+            for r in betweenness_centrality(e_df, s_df, max_hops=6).collect()
+        }
+        assert set(got_bc) == set(want_bc), seed
+        for v, x in want_bc.items():
+            assert got_bc[v] == pytest.approx(round(x, 6), abs=2e-6), (seed, v)
