@@ -122,6 +122,22 @@ def parse_robots(
     Returns (host, rule, path_prefix) with rule in {'allow',
     'disallow'}.
     """
+    grouped, chosen = _robot_groups(robots, host_col, text_col, agent)
+    rules = grouped.where(
+        F.col("kind").isin("allow", "disallow")
+        & (F.col("grp") > 0)
+        & (F.col("val") != "")
+    ).select("host", "grp", F.col("kind").alias("rule"),
+             F.col("val").alias("path_prefix"))
+    return rules.join(chosen, ["host", "grp"]).select(
+        "host", "rule", "path_prefix"
+    ).distinct()
+
+
+def _robot_groups(robots, host_col, text_col, agent):
+    """Shared REP group machinery: line classify -> group-start lag ->
+    running-sum group ids -> most-specific group choice. Returns
+    (grouped typed lines, chosen (host, grp) groups)."""
     a = agent.strip().lower()
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -138,6 +154,7 @@ def parse_robots(
         F.when(key == "user-agent", F.lit("ua"))
         .when(key == "allow", F.lit("allow"))
         .when(key == "disallow", F.lit("disallow"))
+        .when(key == "crawl-delay", F.lit("delay"))
         .alias("kind"),
         val.alias("val"),
     ).where(F.col("kind").isNotNull())
@@ -162,15 +179,36 @@ def parse_robots(
     chosen = named.unionByName(
         star.join(has_named, "host", "left_anti")
     )
-    rules = grouped.where(
-        F.col("kind").isin("allow", "disallow")
-        & (F.col("grp") > 0)
-        & (F.col("val") != "")
-    ).select("host", "grp", F.col("kind").alias("rule"),
-             F.col("val").alias("path_prefix"))
-    return rules.join(chosen, ["host", "grp"]).select(
-        "host", "rule", "path_prefix"
-    ).distinct()
+    return grouped, chosen
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str,
+    text_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for one crawler identity — the
+    de-facto REP extension most crawl schedulers honor (not in
+    RFC 9309; Google ignores it, Bing/Yandex apply it), resolved with
+    the SAME group semantics as :func:`parse_robots` (named agent
+    suppresses '*'). Returns (host, crawl_delay) for hosts whose
+    chosen groups carry at least one parseable numeric delay; when
+    several chosen groups disagree the MAXIMUM wins (the polite
+    reading). Non-numeric values are ignored, matching the major
+    crawlers' behavior.
+    """
+    grouped, chosen = _robot_groups(robots, host_col, text_col, agent)
+    delays = grouped.where(
+        (F.col("kind") == "delay") & (F.col("grp") > 0)
+    ).select(
+        "host", "grp", F.expr("try_cast(val AS double)").alias("delay")
+    ).where(F.col("delay").isNotNull())
+    return (
+        delays.join(chosen, ["host", "grp"])
+        .groupBy("host")
+        .agg(F.max("delay").alias("crawl_delay"))
+    )
 
 
 def robots_filter(

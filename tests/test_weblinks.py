@@ -135,3 +135,31 @@ def test_anchor_text_edge_whitespace(spark):
     r = got[0]
     assert (r["anchor"], r["n_mentions"], r["n_inlinks"],
             r["n_unique_anchors"]) == ("foo", 3, 3, 1)
+
+
+def test_crawl_delays_group_semantics(spark):
+    """Crawl-delay resolves with the same group machinery: named agent
+    suppresses '*', non-numeric values ignored, max of the chosen
+    groups wins, hosts without a parseable delay are absent."""
+    from bertseyeview_spark.operators.weblinks import crawl_delays
+
+    r1 = "User-agent: *\nCrawl-delay: 2\nUser-agent: bevbot\nCrawl-delay: 0.5\n"
+    r2 = "User-agent: *\nCrawl-delay: 10\n"
+    r3 = "User-agent: *\nCrawl-delay: soon\n"          # non-numeric
+    r4 = "Crawl-delay: 9\nUser-agent: *\nDisallow: /x\n"  # pre-group: ignored
+    r5 = ("User-agent: bevbot\nCrawl-delay: 1\n\n"
+          "User-agent: bevbot\nCrawl-delay: 4\n")      # two named groups -> max
+    df = spark.createDataFrame(
+        [("h1", r1), ("h2", r2), ("h3", r3), ("h4", r4), ("h5", r5)],
+        ["host", "robots_txt"],
+    )
+    got = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delays(df, "host", "robots_txt", agent="bevbot").collect()
+    }
+    assert got == {"h1": 0.5, "h2": 10.0, "h5": 4.0}
+    star = {
+        r["host"]: r["crawl_delay"]
+        for r in crawl_delays(df, "host", "robots_txt", agent="nobody").collect()
+    }
+    assert star == {"h1": 2.0, "h2": 10.0}
