@@ -710,3 +710,44 @@ def test_dedup_paragraphs_review_edges(spark):
     assert (got6["clean_text"], got6["n_paragraphs"], got6["n_kept"]) == (
         "a.b", 3, 2
     )
+
+
+def test_dedup_paragraphs_invariants_random(spark):
+    """Seeded random corpora: count identity (kept + dropped == total),
+    corpus-wide uniqueness of surviving normalized units, and
+    idempotence (a second pass over the cleaned corpus drops nothing)."""
+    import random
+    import re
+
+    from bertseyeview_spark.operators.dedup import dedup_paragraphs
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(40):
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(0, 4)))
+            for _ in range(rng.randint(0, 6))
+        ]
+        rows.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_paragraphs(df, "doc_id", "text").collect()
+    assert {r["id"] for r in out} == {i for i, _ in rows}
+    for r in out:
+        assert r["n_kept"] + r["n_dropped"] == r["n_paragraphs"], r
+    # surviving non-whitespace units are unique corpus-wide
+    seen = {}
+    for r in out:
+        if r["clean_text"] == "":
+            continue
+        for u in r["clean_text"].split("\n"):
+            nrm = re.sub(r"\s+", " ", u.lower()).strip()
+            if nrm:
+                assert nrm not in seen, (nrm, seen[nrm], r["id"])
+                seen[nrm] = r["id"]
+    # idempotence
+    clean = spark.createDataFrame(
+        [(r["id"], r["clean_text"]) for r in out], ["doc_id", "text"]
+    )
+    out2 = dedup_paragraphs(clean, "doc_id", "text").collect()
+    assert all(r["n_dropped"] == 0 for r in out2)

@@ -67,11 +67,14 @@ SUBJECTS = [
     "exact_substring_dedup",
     "substring_cut",
     "semdedup",
-    # r6 additions: the two new corpus-wide operators whose load grows
+    # r6 additions: the new corpus-wide operators whose load grows
     # with document count (the graph/centrality additions are bounded
     # by their pivot sample, so sf is not their scaling axis)
     "dedup_paragraphs",
     "dsir_select",
+    "c4_line_filter",
+    "anchor_text_topk",
+    "robots_filter",
 ]
 
 
