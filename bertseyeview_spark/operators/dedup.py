@@ -20,6 +20,7 @@ break on document id.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1033,15 +1034,10 @@ def dedup_paragraphs(
         F.posexplode(
             # sep is a LITERAL separator on both sides of the round
             # trip (F.split takes a regex, array_join a literal), so
-            # escape regex metacharacters — sep='.' would otherwise
-            # split on every character (r6 review finding)
-            F.split(
-                F.coalesce(F.col(text_col), F.lit("")),
-                "".join(
-                    "\\" + ch if ch in "\\.[]{}()*+?^$|" else ch
-                    for ch in sep
-                ),
-            )
+            # escape it — sep='.' would otherwise split on every
+            # character (r6 review finding; re.escape output is
+            # Java-regex-safe, the mentions.py matcher precedent)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
         ).alias("pos", "unit"),
     )
     # collapse BEFORE trimming: trim() strips only 0x20, so a tab-only

@@ -571,12 +571,15 @@ def weighted_shortest_paths(
         .groupBy("src", "dst")
         .agg(F.min("_w").alias("_w"))
     )
-    # validate on the RAW edge column (negative min-collapsed weight
-    # iff a negative raw weight exists): a scan + limit(1), no shuffle
-    # — probing e would pay the min-collapse groupBy twice, once here
-    # and once uncached in round 1 (r6 review finding)
+    # validate on the raw rows WITH the same null guards as e (a
+    # negative weight on a null-src/dst row never joins the graph and
+    # must not reject the call): a scan + limit(1), no shuffle —
+    # probing e would pay the min-collapse groupBy twice, once here
+    # and once uncached in round 1 (r6 review findings, both passes)
     neg = edges.where(
-        F.col(weight_col).cast("double") < 0
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col(weight_col).cast("double") < 0)
     ).limit(1).count()
     if neg > 0:
         raise ValueError("weighted_shortest_paths requires non-negative weights")
@@ -623,7 +626,7 @@ def closeness_centrality(
     reaches it. Returns, for each vertex reached by at least one
     source at hop >= 1:
 
-        (id, n_reached, total_dist, closeness)
+        (id, n_reached, total_dist, closeness, harmonic)
 
     where ``n_reached`` counts sources reaching the vertex within
     ``max_hops``, ``total_dist`` is the exact integer hop sum, and
@@ -650,6 +653,8 @@ def closeness_centrality(
     every 3 hops flattens the looped lineage, the bfs_distances
     cadence.
     """
+    if max_hops > 9:
+        raise ValueError("max_hops > 9 breaks the exact harmonic sum")
     e = edges.select("src", "dst").where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
     ).distinct()
@@ -675,8 +680,6 @@ def closeness_centrality(
         if h % 3 == 0:
             dist = dist.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
-    if max_hops > 9:
-        raise ValueError("max_hops > 9 breaks the exact harmonic sum")
     return (
         dist.where(F.col("dist") > 0)
         .groupBy("id")

@@ -159,11 +159,23 @@ def _robot_groups(robots, host_col, text_col, agent):
         val.alias("val"),
     ).where(F.col("kind").isNotNull())
     byline = Window.partitionBy("host").orderBy("line_no")
+    # group-start detection looks at the previous NON-delay line: per
+    # RFC 9309 2.2.2 only allow/disallow are group-member lines, and
+    # other lines "MUST NOT be treated as ending a group", so a
+    # Crawl-delay between two User-agent lines neither ends the UA run
+    # (the agents share one group — the rules AND the delay) nor
+    # starts a group of its own (r6 second-review finding; NOTE this
+    # is the RFC reading — protego-style parsers instead treat a
+    # recognized delay as closing the UA run, a documented divergence
+    # and the more-restrictive/polite choice when rules follow)
+    prev_kind = F.last(
+        F.when(F.col("kind") != "delay", F.col("kind")), ignorenulls=True
+    ).over(byline.rowsBetween(Window.unboundedPreceding, -1))
     grouped = typed.withColumn(
         "_starts",
         (
             (F.col("kind") == "ua")
-            & (F.coalesce(F.lag("kind").over(byline), F.lit("")) != "ua")
+            & (F.coalesce(prev_kind, F.lit("")) != "ua")
         ).cast("int"),
     ).withColumn("grp", F.sum("_starts").over(byline))
     agents = (

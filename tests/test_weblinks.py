@@ -143,7 +143,11 @@ def test_crawl_delays_group_semantics(spark):
     groups wins, hosts without a parseable delay are absent."""
     from bertseyeview_spark.operators.weblinks import crawl_delays
 
-    r1 = "User-agent: *\nCrawl-delay: 2\nUser-agent: bevbot\nCrawl-delay: 0.5\n"
+    # the Disallow separates the two groups (a UA line directly after
+    # another UA's delay would MERGE per RFC 9309: non-group-member
+    # lines do not break a user-agent run — pinned separately below)
+    r1 = ("User-agent: *\nDisallow: /a\nCrawl-delay: 2\n"
+          "User-agent: bevbot\nCrawl-delay: 0.5\n")
     r2 = "User-agent: *\nCrawl-delay: 10\n"
     r3 = "User-agent: *\nCrawl-delay: soon\n"          # non-numeric
     r4 = "Crawl-delay: 9\nUser-agent: *\nDisallow: /x\n"  # pre-group: ignored
@@ -163,3 +167,29 @@ def test_crawl_delays_group_semantics(spark):
         for r in crawl_delays(df, "host", "robots_txt", agent="nobody").collect()
     }
     assert star == {"h1": 2.0, "h2": 10.0}
+
+
+def test_crawl_delay_does_not_break_ua_adjacency(spark):
+    """r6 second-review finding: an unrecognized-for-grouping line
+    (Crawl-delay) between two User-agent lines must neither end the UA
+    run nor start its own group (RFC 9309: such lines do not break a
+    group) — both agents share the rules AND the delay."""
+    from bertseyeview_spark.operators.weblinks import (
+        crawl_delays,
+        parse_robots,
+    )
+
+    body = ("User-agent: bevbot\nCrawl-delay: 1\nUser-agent: otherbot\n"
+            "Disallow: /x\n")
+    df = spark.createDataFrame([("h", body)], ["host", "robots_txt"])
+    for agent in ("bevbot", "otherbot"):
+        rules = {
+            (r["rule"], r["path_prefix"])
+            for r in parse_robots(df, "host", "robots_txt", agent=agent).collect()
+        }
+        assert rules == {("disallow", "/x")}, agent
+        delays = {
+            r["host"]: r["crawl_delay"]
+            for r in crawl_delays(df, "host", "robots_txt", agent=agent).collect()
+        }
+        assert delays == {"h": 1.0}, agent
