@@ -1877,6 +1877,62 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(planted, "doc_id", "text")
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing over 12 planted hosts: hn%4==0 hosts carry a
+    <sitemapindex> (two child sitemaps, one with whitespace-padded
+    loc), the rest a <urlset> whose three entries exercise every field
+    path — full W3C datetime lastmod (day extracted), conditional
+    changefreq/priority including a non-numeric priority (-> NULL), an
+    XML-entity-encoded loc (&amp; -> &), and a loc wrapped in
+    whitespace. The oracle derives the expected rows ANALYTICALLY from
+    the plant (the robots_filter discipline), so the regex parser is
+    checked against an independent derivation. lastmod_date is cast to
+    string for grading (DATE pandas dtypes differ across engines)."""
+    from bertseyeview_spark.operators.weblinks import parse_sitemaps
+
+    d = F.col("doc_id")
+    hn = d.cast("string")
+    day = ((d % 9) + 1).cast("string")
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<sitemap><loc>https://h"), hn,
+        F.lit("/sitemap1.xml</loc><lastmod>2024-01-0"), day,
+        F.lit("</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>\n  https://h"), hn,
+        F.lit("/sitemap2.xml  \n</loc></sitemap></sitemapindex>"),
+    )
+    urlset_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<url><loc>https://h"), hn,
+        F.lit("/page0</loc><lastmod>2024-03-0"), day,
+        F.lit("T12:30:00+00:00</lastmod>"),
+        F.when(d % 2 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<priority>0."), (d % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).when(d % 5 == 0, F.lit("<priority>soon</priority>"))
+        .otherwise(F.lit("")),
+        F.lit("</url><url><loc>https://h"), hn,
+        F.lit("/a&amp;b=1</loc></url>"),
+        F.lit("<url><loc>   https://h"), hn,
+        F.lit("/padded  </loc></url></urlset>"),
+    )
+    sitemaps = (
+        _t(spark, sf_dir, "documents")
+        .where(d < 12)
+        .select(
+            F.concat(F.lit("h"), hn).alias("host"),
+            F.when(d % 4 == 0, index_xml).otherwise(urlset_xml).alias("xml"),
+        )
+    )
+    out = parse_sitemaps(sitemaps, "host", "xml")
+    return out.withColumn(
+        "lastmod_date", F.col("lastmod_date").cast("string")
+    )
+
+
 def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-source Brandes betweenness on the same deterministic
     out-degree-2 graph / 5-pivot sample as q_closeness_centrality.
@@ -1913,14 +1969,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query's freshest driver row ever ages past two rounds. This round (r6):
     # weighted_sssp / closeness_centrality / betweenness_centrality /
     # dsir_select / c4_line_filter / anchor_text_topk / robots_filter /
-    # dedup_paragraphs are new; text_chunking / substring_cut /
-    # repetition_signals / exact_substring_dedup sit on the changed
-    # norm_tokens empty-guard, so they stay in despite fresh r05 rows; then
-    # the 30 queries displaced in r5 (newest row r04 — the oldest in the
-    # registry); the last 8 slots are r05-green fill prioritized by
-    # operators touched this round (tokenizer consumers, scale-stress +
-    # ANN-recall subjects, the flagship). The 38 displaced past the cutoff
-    # ALL hold all-green r05 rows (one round old) and rotate back in r7.
+    # dedup_paragraphs / sitemap_parse are new; text_chunking /
+    # substring_cut / repetition_signals / exact_substring_dedup sit on the
+    # changed norm_tokens empty-guard, so they stay in despite fresh r05
+    # rows; then the 30 queries displaced in r5 (newest row r04 — the
+    # oldest in the registry); the last 7 slots are r05-green fill
+    # prioritized by operators touched this round (tokenizer consumers,
+    # scale-stress + ANN-recall subjects, the flagship). The 39 displaced
+    # past the cutoff ALL hold all-green r05 rows (one round old) and
+    # rotate back in r7.
     return {
         # -- new this round --
         "weighted_sssp": q_weighted_sssp,
@@ -1931,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "dedup_paragraphs": q_dedup_paragraphs,
         "betweenness_centrality": q_betweenness_centrality,
+        "sitemap_parse": q_sitemap_parse,
         # -- changed this round (norm_tokens empty-document guard) --
         "text_chunking": q_text_chunking,
         "substring_cut": q_substring_cut,
@@ -1975,10 +2033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "connected_components": q_connected_components,
         "semdedup": q_semdedup,
-        "embedding_ann_lsh": q_embedding_ann_lsh,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         # ---- 50-entry graded cutoff: everything below holds an
         # ---- all-green r05 driver row and rotates back in r7
+        "embedding_ann_lsh": q_embedding_ann_lsh,
         "warc_roundtrip": q_warc_roundtrip,
         "embedding_topk_cosine": q_embedding_topk_cosine,
         "lm_perplexity": q_lm_perplexity,
@@ -3952,6 +4010,43 @@ SELECT u.url, u.host, u.path,
        (b.matched_rule IS NULL OR b.matched_rule = 'allow') AS allowed,
        b.matched_rule, b.matched_prefix
 FROM urls u LEFT JOIN best b ON u.url = b.url
+""",
+        # sitemap_parse: expected rows derived ANALYTICALLY from the
+        # plant (entity decode, whitespace trim, day extraction, and
+        # the non-numeric-priority NULL all encoded as expectations,
+        # never re-parsed) — the independent-derivation discipline
+        "sitemap_parse": r"""
+WITH h AS (SELECT DISTINCT doc_id AS hn FROM documents WHERE doc_id < 12),
+idx AS (SELECT hn FROM h WHERE hn % 4 = 0),
+us AS (SELECT hn FROM h WHERE hn % 4 <> 0)
+SELECT 'h' || hn::VARCHAR AS host, 'sitemap' AS kind,
+       'https://h' || hn::VARCHAR || '/sitemap1.xml' AS loc,
+       '2024-01-0' || ((hn % 9) + 1)::VARCHAR AS lastmod,
+       '2024-01-0' || ((hn % 9) + 1)::VARCHAR AS lastmod_date,
+       NULL::VARCHAR AS changefreq, NULL::DOUBLE AS priority
+FROM idx
+UNION ALL
+SELECT 'h' || hn::VARCHAR, 'sitemap',
+       'https://h' || hn::VARCHAR || '/sitemap2.xml',
+       NULL, NULL, NULL, NULL
+FROM idx
+UNION ALL
+SELECT 'h' || hn::VARCHAR, 'url',
+       'https://h' || hn::VARCHAR || '/page0',
+       '2024-03-0' || ((hn % 9) + 1)::VARCHAR || 'T12:30:00+00:00',
+       '2024-03-0' || ((hn % 9) + 1)::VARCHAR,
+       CASE WHEN hn % 2 = 0 THEN 'daily' END,
+       CASE WHEN hn % 3 = 0
+            THEN ('0.' || (hn % 10)::VARCHAR)::DOUBLE END
+FROM us
+UNION ALL
+SELECT 'h' || hn::VARCHAR, 'url',
+       'https://h' || hn::VARCHAR || '/a&b=1', NULL, NULL, NULL, NULL
+FROM us
+UNION ALL
+SELECT 'h' || hn::VARCHAR, 'url',
+       'https://h' || hn::VARCHAR || '/padded', NULL, NULL, NULL, NULL
+FROM us
 """,
         # dedup_paragraphs: the oracle dedups on the NORMALIZED UNIT
         # STRING (same equivalence classes as the engine's xxhash64 of

@@ -193,3 +193,47 @@ def test_crawl_delay_does_not_break_ua_adjacency(spark):
             for r in crawl_delays(df, "host", "robots_txt", agent=agent).collect()
         }
         assert delays == {"h": 1.0}, agent
+
+
+def test_parse_sitemaps(spark):
+    """Both document kinds, entity decode, whitespace trim, lastmod day
+    extraction, non-numeric priority -> NULL, entries without <loc>
+    dropped, empty/null/namespace-prefixed XML -> zero rows."""
+    from bertseyeview_spark.operators.weblinks import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://a/x?p=1&amp;q=2</loc>"
+        "<lastmod>2024-05-06T01:02:03+00:00</lastmod>"
+        "<changefreq>weekly</changefreq><priority>0.8</priority></url>"
+        "<url><loc>\n  https://a/padded \n</loc><priority>soon</priority></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"   # no loc -> dropped
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b/s1.xml</loc>"
+        "<lastmod>2023-12-31</lastmod></sitemap></sitemapindex>"
+    )
+    prefixed = (
+        "<sm:urlset><sm:url><sm:loc>https://c/x</sm:loc></sm:url></sm:urlset>"
+    )
+    df = spark.createDataFrame(
+        [("a", urlset), ("b", index), ("c", prefixed), ("d", ""), ("e", None)],
+        ["host", "xml"],
+    )
+    rows = parse_sitemaps(df, "host", "xml").collect()
+    got = {(r["host"], r["loc"]): r for r in rows}
+    assert set(got) == {
+        ("a", "https://a/x?p=1&q=2"),
+        ("a", "https://a/padded"),
+        ("b", "https://b/s1.xml"),
+    }
+    r = got[("a", "https://a/x?p=1&q=2")]
+    assert (r["kind"], r["lastmod"], str(r["lastmod_date"]),
+            r["changefreq"], r["priority"]) == (
+        "url", "2024-05-06T01:02:03+00:00", "2024-05-06", "weekly", 0.8
+    )
+    p = got[("a", "https://a/padded")]
+    assert (p["priority"], p["lastmod"], p["changefreq"]) == (None, None, None)
+    b = got[("b", "https://b/s1.xml")]
+    assert (b["kind"], str(b["lastmod_date"])) == ("sitemap", "2023-12-31")
