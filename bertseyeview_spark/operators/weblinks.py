@@ -314,55 +314,70 @@ def parse_sitemaps(
     granularity crawl planners actually use — full timestamp+tz parse
     is deliberately out of scope), ``priority`` a double (non-numeric
     -> NULL), and ``loc`` XML-entity-decoded for the five predefined
-    entities. Entries without a ``<loc>`` are dropped (nothing to
-    fetch). Namespace prefixes and attributes on the entry tags are
-    NOT handled (real sitemaps overwhelmingly use the default
-    namespace); a prefixed feed parses to zero rows, never garbage.
+    entities (a CDATA wrapper around the loc is stripped). Entries
+    without a ``<loc>`` are dropped (nothing to fetch). Namespace
+    prefixes and attributes on the entry tags are NOT handled (real
+    sitemaps overwhelmingly use the default namespace); a prefixed
+    feed parses to zero rows, never garbage. The document kind comes
+    from the FIRST root-element tag in the file (not a raw substring
+    scan, which a generator comment mentioning the other root would
+    fool), matched case-sensitively like the entry tags — XML names
+    are case-sensitive and the spec tags are lowercase.
 
-    Distributed shape: one regexp_extract_all per kind + posexplode —
-    a narrow per-file map with NO shuffle (same discipline as
-    :func:`~..textquality.c4_line_filter`); per-entry field extraction
-    is codegen'd regexp. Sitemap files cap at 50 MB uncompressed by
-    spec, so per-row work is bounded.
+    Distributed shape: the kind and the entry array are materialized
+    ONCE PER FILE before the explode (so the Generate carries a short
+    kind string, never the 50 MB-by-spec xml body, and the root scan
+    runs once, not once per entry); per-entry field extraction is
+    codegen'd regexp on the entry slice. A narrow per-file map with NO
+    shuffle — the :func:`~..textquality.c4_line_filter` discipline.
     """
-    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    # strip XML comments once per file BEFORE anything else: a comment
+    # mentioning the other root tag must not flip the kind, and a
+    # commented-out <url> entry must not be emitted
+    xml = F.regexp_replace(
+        F.coalesce(F.col(xml_col), F.lit("")), r"(?s)<!--.*?-->", ""
+    )
+    root = F.regexp_extract(
+        xml, r"(?s)<\s*(urlset|sitemapindex)[\s>]", 1
+    )
     entries = F.when(
-        F.contains(F.lower(xml), F.lit("<sitemapindex")),
+        root == "sitemapindex",
         F.regexp_extract_all(xml, F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1),
     ).otherwise(
         F.regexp_extract_all(xml, F.lit(r"(?s)<url>(.*?)</url>"), 1)
     )
-    kind = F.when(
-        F.contains(F.lower(xml), F.lit("<sitemapindex")), F.lit("sitemap")
-    ).otherwise(F.lit("url"))
-    ex = sitemaps.select(
+    kind = F.when(root == "sitemapindex", F.lit("sitemap")).otherwise(
+        F.lit("url")
+    )
+    # materialize kind + entries BEFORE the explode: computed once per
+    # file, and the Generate never carries the xml body (r6 review)
+    per_file = sitemaps.select(
         F.col(host_col).alias("host"),
         kind.alias("kind"),
-        F.explode(entries).alias("_e"),
+        entries.alias("_entries"),
+    )
+    ex = per_file.select(
+        "host", "kind", F.explode(F.col("_entries")).alias("_e")
     )
     def field(tag):
         return F.regexp_extract(
             F.col("_e"), rf"(?s)<{tag}>\s*(.*?)\s*</{tag}>", 1
         )
-    loc = field("loc")
+    loc = F.regexp_replace(
+        field("loc"), r"^<!\[CDATA\[(.*)\]\]>$", "$1"
+    )
     for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&apos;", "'"), ("&amp;", "&")]:
         loc = F.replace(loc, F.lit(ent), F.lit(ch))
-    lastmod = field("lastmod")
+    lastmod = F.nullif(field("lastmod"), F.lit(""))
     return ex.select(
         "host",
         "kind",
         loc.alias("loc"),
-        F.nullif(lastmod, F.lit("")).alias("lastmod"),
-        F.expr(
-            "try_cast(substring(nullif("
-            "  regexp_extract(_e, '(?s)<lastmod>\\\\s*(.*?)\\\\s*</lastmod>', 1),"
-            "  ''), 1, 10) AS date)"
-        ).alias("lastmod_date"),
+        lastmod.alias("lastmod"),
+        F.substring(lastmod, 1, 10).try_cast("date").alias("lastmod_date"),
         F.nullif(field("changefreq"), F.lit("")).alias("changefreq"),
-        F.expr(
-            "try_cast(nullif("
-            "  regexp_extract(_e, '(?s)<priority>\\\\s*(.*?)\\\\s*</priority>', 1),"
-            "  '') AS double)"
-        ).alias("priority"),
+        F.nullif(field("priority"), F.lit("")).try_cast("double").alias(
+            "priority"
+        ),
     ).where(F.col("loc") != "")

@@ -237,3 +237,43 @@ def test_parse_sitemaps(spark):
     assert (p["priority"], p["lastmod"], p["changefreq"]) == (None, None, None)
     b = got[("b", "https://b/s1.xml")]
     assert (b["kind"], str(b["lastmod_date"])) == ("sitemap", "2023-12-31")
+
+
+def test_parse_sitemaps_review_edges(spark):
+    """r6 third-review findings: a urlset whose comment mentions
+    '<sitemapindex' must NOT be misclassified (kind comes from the
+    first root tag), an uppercase root yields zero rows (never
+    garbage), and a CDATA-wrapped loc is stripped to the bare URL."""
+    from bertseyeview_spark.operators.weblinks import parse_sitemaps
+
+    tricky = (
+        "<!-- generated; this is not a <sitemapindex> document -->\n"
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc><![CDATA[https://a/x?p=1]]></loc></url>"
+        "<!-- <url><loc>https://a/commented-out</loc></url> -->"
+        "<url><loc>https://a/y</loc></url></urlset>"
+    )
+    upper = "<SITEMAPINDEX><SITEMAP><LOC>https://b/s.xml</LOC></SITEMAP></SITEMAPINDEX>"
+    df = spark.createDataFrame(
+        [("a", tricky), ("b", upper)], ["host", "xml"]
+    )
+    rows = parse_sitemaps(df, "host", "xml").collect()
+    got = {(r["host"], r["loc"]): r["kind"] for r in rows}
+    assert got == {
+        ("a", "https://a/x?p=1"): "url",
+        ("a", "https://a/y"): "url",
+    }
+
+
+def test_sitemap_parse_plan_zero_shuffle(spark, sf_dir):
+    """The parse is a narrow per-file map: no Exchange, no join, and
+    the Generate must carry the per-file entry array, not the xml
+    body (kind + entries materialize before the explode)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["sitemap_parse"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    gen = [l for l in plan.splitlines() if "Generate" in l]
+    assert gen and all("xml" not in l for l in gen)

@@ -62,7 +62,7 @@ QUERIES = [
     ("robots_filter", "parse = posexplode + two per-host windows (lag group-start + running-sum group id, gaps-and-islands); gate = ONE host equi-join (rules side broadcast-sized at crawl scale, AQE skew split on boilerplate hosts) + per-url longest-match window over a robots-file-sized candidate set"),
     ("dedup_paragraphs", "CCNet paragraph dedup: posexplode units, ONE grouped min-struct per unit hash (map-side combined, AQE skew split on boilerplate keys), hash equi-join back, ONE per-doc regroup for reassembly; shuffles carry 64-bit hashes + positions"),
     ("betweenness_centrality", "Brandes forward: per hop one frontier-edge equi-join + grouped integer sigma sum; backward: per depth one reversed edge join + grouped dependency sum; state keyed (source, vertex) = |sample| x |reach|, localCheckpoint every 3 levels"),
-    ("sitemap_parse", "zero-shuffle per-file map: one regexp_extract_all + posexplode per sitemap, codegen'd per-entry field extraction; no joins, no exchange"),
+    ("sitemap_parse", "zero-shuffle per-file map: root-tag kind + entry array materialized once per file, explode carries entry slices (never the xml body), codegen'd per-entry field extraction; no joins, no exchange"),
 ]
 
 
