@@ -1421,11 +1421,10 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verified fast path returns the provably exact top-k, so
     the oracle is the plain exact SQL."""
     from bertseyeview_spark.operators.analytics import heavy_hitters
+    from bertseyeview_spark.operators.textquality import norm_tokens
 
     toks = _t(spark, sf_dir, "documents").select(
-        F.explode(
-            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-        ).alias("tok")
+        F.explode(norm_tokens("text")).alias("tok")
     )
     return heavy_hitters(toks, "tok", k=20, counters=4096)
 
@@ -1488,13 +1487,19 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring (repeated-span) dedup, the Lee et al.
-    'Deduplicating Training Data' detection stage re-expressed as a
-    token-window fingerprint equi-join: every 8-token window of every
-    document is fingerprinted (128-bit, JVM xxhash64 x2), windows
-    whose fingerprint repeats corpus-wide are flagged, and per-doc
-    overlapping/adjacent flagged windows merge into maximal spans.
-    The synthetic corpus repeats phrases naturally (~1k repeated
-    8-gram windows at sf0.01), so no planting is needed."""
+    'Deduplicating Training Data' detection stage at TOKEN-EXACT
+    boundaries (r7): every 8-token window of every document is
+    fingerprinted (128-bit, JVM xxhash64 x2), windows whose
+    fingerprint repeats corpus-wide pair-join on the fingerprint, and
+    consecutive matched windows per (doc pair, alignment diagonal)
+    merge into maximal pairwise-aligned runs — each reported span is
+    a string that genuinely occurs >= 2 times, with the exact start
+    and end tokens the published suffix array would emit (the legacy
+    window-union mode chained overlapping repeats against different
+    partners into spans that never repeat as a whole). Contained
+    spans are pruned per doc. The synthetic corpus repeats phrases
+    naturally (~1k repeated 8-gram windows at sf0.01), so no planting
+    is needed."""
     from bertseyeview_spark.operators.dedup import exact_substring_spans
 
     return exact_substring_spans(
@@ -1649,12 +1654,16 @@ def q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The removal stage completing the exact-substring recipe: every
-    repeated 8-token occurrence is cut except the canonical
-    (minimal (id, start)) copy, with canonical windows protected from
-    overlapping cuts. Returns the cleaned normalized token stream per
-    document plus cut accounting — at sf0.01 the natural phrase
-    repeats cut ~1.3k tokens across ~24 documents."""
+    """The removal stage completing the exact-substring recipe at
+    TOKEN-EXACT boundaries (r7): the duplication unit is the maximal
+    pairwise-aligned repeated run; per run content the minimal
+    (id, start) occurrence is canonical and survives INTACT (the
+    legacy mode's per-window canonical could scatter protection
+    across documents and clip the survivor at the edges). Tokens of
+    non-canonical occurrences are cut unless protected by an
+    overlapping canonical occurrence in the same document. Returns
+    the cleaned normalized token stream per document plus cut
+    accounting."""
     from bertseyeview_spark.operators.dedup import cut_repeated_spans
 
     return cut_repeated_spans(
@@ -3210,13 +3219,16 @@ SELECT g.id,
 FROM gates g LEFT JOIN dup ON g.id = dup.id
 """,
         "bm25_search": """
-WITH toks AS (
+WITH t0 AS (
   SELECT doc_id AS id,
-    unnest(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS term,
-    len(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS dl
-  FROM documents
+    CASE WHEN s = '' THEN []
+         ELSE string_split_regex(s, '[ \\t\\n\\x0B\\f\\r]+') END AS w
+  FROM (SELECT doc_id,
+          regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') AS s
+        FROM documents WHERE text IS NOT NULL)
 ),
-per_doc AS (SELECT id, any_value(dl) AS dl FROM toks GROUP BY id),
+toks AS (SELECT id, unnest(w) AS term, len(w) AS dl FROM t0),
+per_doc AS (SELECT id, len(w) AS dl FROM t0),
 stats AS (SELECT count(*) AS n_docs, avg(dl) AS avg_dl FROM per_doc),
 qt AS (SELECT * FROM toks
        WHERE term IN ('spark', 'vector', 'stream', 'batch', 'sort')),
@@ -3237,9 +3249,11 @@ FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 25
         "gopher_quality": """
 WITH w0 AS (
   SELECT doc_id AS id,
-    CASE WHEN length(trim(text, ' ')) = 0 THEN []
-         ELSE string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+') END AS w
-  FROM documents
+    CASE WHEN s = '' OR s IS NULL THEN []
+         ELSE string_split_regex(s, '[ \\t\\n\\x0B\\f\\r]+') END AS w
+  FROM (SELECT doc_id,
+          regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') AS s
+        FROM documents)
 ),
 b AS (
   SELECT id, len(w) AS n_words,
@@ -3559,18 +3573,23 @@ HAVING sum(1.0 / ln(z.d)) >= 1.0
 """,
         "token_heavy_hitters": r"""
 WITH toks AS (
-  SELECT unnest(string_split_regex(trim(lower(text), ' '), '[ \t\n\x0B\f\r]+')) AS v
-  FROM documents WHERE text IS NOT NULL
+  SELECT unnest(string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+')) AS v
+  FROM documents
+  WHERE text IS NOT NULL
+    AND regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') <> ''
 ),
 cnt AS (SELECT v, count(*)::BIGINT AS cnt FROM toks GROUP BY 1)
 SELECT v AS value, cnt,
        row_number() OVER (ORDER BY cnt DESC, v)::INT AS rank
 FROM cnt ORDER BY cnt DESC, v LIMIT 20
 """,
-        # exact_substring_dedup: same window/flag/merge pipeline on the
+        # exact_substring_dedup: token-exact (Lee et al.) replay on the
         # raw window STRINGS (the fingerprint is equality-only, so the
-        # oracle can group on the text itself); gaps-and-islands via
-        # running max of span ends, exactly mirroring the Spark window
+        # oracle can join on the text itself): flagged-window pair
+        # join, gaps-and-islands per (doc pair, alignment diagonal)
+        # into maximal pairwise runs, both sides emitted, distinct,
+        # then containment prune via running max of ends over a
+        # (start asc, end desc) window — mirroring the Spark plan
         "exact_substring_dedup": r"""
 WITH toks AS (
   SELECT doc_id AS id, string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
@@ -3586,26 +3605,40 @@ w2 AS (
   FROM win
 ),
 hot AS (SELECT s FROM w2 GROUP BY s HAVING count(*) >= 2),
-flagged AS (
-  SELECT id, strt, strt + 7 AS e FROM w2 JOIN hot USING (s)
+occ AS (SELECT id, strt, s FROM w2 JOIN hot USING (s)),
+pr AS (
+  SELECT a.id AS ida, a.strt AS sa, b.id AS idb, b.strt AS sb,
+         a.strt - b.strt AS diag
+  FROM occ a JOIN occ b
+    ON a.s = b.s
+   AND (a.id < b.id OR (a.id = b.id AND a.strt < b.strt))
 ),
 isl AS (
-  SELECT id, strt, e,
-    CASE WHEN strt > coalesce(max(e) OVER (
-        PARTITION BY id ORDER BY strt
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-      THEN 1 ELSE 0 END AS brk
-  FROM flagged
+  SELECT ida, idb, diag, sa,
+         sa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY sa)
+           AS grp
+  FROM pr
 ),
-grp AS (
-  SELECT *, sum(brk) OVER (
-    PARTITION BY id ORDER BY strt ROWS UNBOUNDED PRECEDING) AS g
-  FROM isl
+runs0 AS (
+  SELECT ida, idb, diag, min(sa) AS a0, max(sa) AS a1
+  FROM isl GROUP BY ida, idb, diag, grp
+),
+sides AS (
+  SELECT ida AS id, a0 AS strt, a1 + 7 AS e FROM runs0
+  UNION ALL
+  SELECT idb, a0 - diag, a1 - diag + 7 FROM runs0
+),
+druns AS (SELECT DISTINCT id, strt, e FROM sides),
+pruned AS (
+  SELECT id, strt, e,
+    coalesce(max(e) OVER (PARTITION BY id ORDER BY strt ASC, e DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pme
+  FROM druns
 )
-SELECT id, min(strt)::INT AS span_start, max(e)::INT AS span_end,
-       (max(e) - min(strt) + 1)::INT AS n_tokens,
-       count(*)::BIGINT AS n_windows
-FROM grp GROUP BY id, g
+SELECT id, strt::INT AS span_start, e::INT AS span_end,
+       (e - strt + 1)::INT AS n_tokens,
+       (e - strt + 2 - 8)::INT AS n_windows
+FROM pruned WHERE pme < e
 """,
         # substring_cut: same flag stage on raw window strings, then
         # canonical pick (row_number over fingerprint ordered by
@@ -3632,10 +3665,44 @@ w2 AS (
   FROM win
 ),
 hot AS (SELECT s FROM w2 GROUP BY s HAVING count(*) >= 2),
+occ AS (SELECT id, strt, s FROM w2 JOIN hot USING (s)),
+pr AS (
+  SELECT a.id AS ida, a.strt AS sa, b.id AS idb, b.strt AS sb,
+         a.strt - b.strt AS diag
+  FROM occ a JOIN occ b
+    ON a.s = b.s
+   AND (a.id < b.id OR (a.id = b.id AND a.strt < b.strt))
+),
+risl AS (
+  SELECT ida, idb, diag, sa,
+         sa - row_number() OVER (PARTITION BY ida, idb, diag ORDER BY sa)
+           AS rgrp
+  FROM pr
+),
+runs0 AS (
+  SELECT ida, idb, diag, min(sa) AS a0, max(sa) AS a1
+  FROM risl GROUP BY ida, idb, diag, rgrp
+),
+sides AS (
+  SELECT ida AS id, a0 AS strt, a1 + 7 AS e FROM runs0
+  UNION ALL
+  SELECT idb, a0 - diag, a1 - diag + 7 FROM runs0
+),
+druns AS (SELECT DISTINCT id, strt, e FROM sides),
+-- canonical per run CONTENT (the actual token slice — the oracle can
+-- afford exact string equality where Spark uses 128-bit+xor keys):
+-- min (id, strt) occurrence keeps, everything else cuts
+withc AS (
+  SELECT d.id, d.strt, d.e,
+         array_to_string(list_slice(tk.t, d.strt + 1, d.e + 1), ' ')
+           AS content
+  FROM druns d JOIN toks tk ON d.id = tk.id
+),
 flagged AS (
-  SELECT w2.id, w2.strt, w2.e,
-         (row_number() OVER (PARTITION BY w2.s ORDER BY w2.id, w2.strt)) = 1 AS canon
-  FROM w2 JOIN hot USING (s)
+  SELECT id, strt, e,
+         (row_number() OVER (PARTITION BY content ORDER BY id, strt)) = 1
+           AS canon
+  FROM withc
 ),
 isl AS (
   SELECT id, strt, e, canon,
@@ -3705,8 +3772,10 @@ GROUP BY 1
 WITH w(token, weight) AS (VALUES {", ".join(f"('{t}', {v}::DOUBLE)" for t, v in CLS_WEIGHTS)}),
 toks AS (
   SELECT doc_id AS id,
-         unnest(string_split_regex(trim(lower(text), ' '), '[ \\t\\n\\x0B\\f\\r]+')) AS token
-  FROM documents WHERE text IS NOT NULL),
+         unnest(string_split_regex(regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g'), '[ \\t\\n\\x0B\\f\\r]+')) AS token
+  FROM documents
+  WHERE text IS NOT NULL
+    AND regexp_replace(lower(text), '^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$', '', 'g') <> ''),
 hits AS (SELECT id, sum(weight) AS ws FROM toks JOIN w USING (token)
          GROUP BY id)
 SELECT d.doc_id AS id,

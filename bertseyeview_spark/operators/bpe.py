@@ -33,12 +33,12 @@ VOCAB_DRIVER_MAX_ROWS = 2_000_000
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, count) over whitespace tokens — the distributed pass."""
+    # canonical norm_tokens (edge-strip + empty guard; ADVICE r6 #2) —
+    # the length>0 filter stays as a belt against NULL-text rows
+    from .textquality import norm_tokens
+
     return (
-        df.select(
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("word")
-        )
+        df.select(F.explode(norm_tokens(text_col)).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("count"))

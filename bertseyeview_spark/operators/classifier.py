@@ -39,11 +39,15 @@ def classifier_scores(
     ``quality_pass = false``: with the defaults (bias 0, threshold 0.5)
     their score is exactly sigmoid(0) = 0.5 and a plain ``>=`` gate
     would wave empty documents through the quality filter."""
+    # canonical norm_tokens (edge-strip + empty guard): empty docs
+    # explode to zero token rows instead of one phantom '' row (which
+    # never matched a weight but was a drifted tokenizer copy —
+    # ADVICE r6 #2)
+    from .textquality import norm_tokens
+
     toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("token"),
+        F.explode(norm_tokens(text_col)).alias("token"),
     )
     hits = toks.join(F.broadcast(weights), "token").groupBy("id").agg(
         F.sum("weight").alias("w_sum")

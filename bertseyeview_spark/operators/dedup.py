@@ -76,7 +76,7 @@ def word_ngrams(text_col, n: int):
     whole-stage-codegen'd — Catalyst evaluates them interpreted, which
     measured ~6x slower than the exploded formulation in
     :func:`shingle_table`. Don't use this on the hot path."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    toks = norm_tokens(text_col)
     count = F.size(toks) - F.lit(n - 1)
     return F.when(
         count > 0,
@@ -779,16 +779,19 @@ def exact_substring_spans(
     text_col: str,
     window: int = 50,
     min_count: int = 2,
+    exact: bool = True,
+    pair_budget: int = 50_000_000,
 ) -> DataFrame:
     """Find maximal token spans that repeat across (or within)
     documents — the exact-substring family of the "Deduplicating
-    Training Data Makes Language Models Better" recipe, where the
-    published implementation builds a corpus suffix array and removes
-    every >= 50-token substring that occurs more than once.
+    Training Data Makes Language Models Better" recipe (Lee et al.
+    2022), where the published implementation builds a corpus suffix
+    array and removes every >= 50-token substring that occurs more
+    than once.
 
     A suffix array is a single-machine data structure; the
-    distributed shape with the same detection semantics at the window
-    granularity is a fixed-length token-window fingerprint equi-join:
+    distributed detection shape is a fixed-length token-window
+    fingerprint equi-join:
 
     1. every ``window``-token window of every document becomes one
        (id, start, fingerprint) row — built with the same
@@ -799,9 +802,26 @@ def exact_substring_spans(
        fingerprint; both shuffles key on the fingerprint, and AQE's
        skew split handles boilerplate fingerprints shared by millions
        of documents);
-    3. per document, overlapping or adjacent flagged windows merge
-       into maximal spans (gaps-and-islands over a per-doc window —
-       partition size is bounded by document length).
+    3. with ``exact=True`` (default, the suffix-array-exact
+       semantics): flagged windows self-join on the fingerprint into
+       occurrence PAIRS, and per (doc pair, alignment diagonal
+       ``startA - startB``) consecutive matched windows merge into
+       maximal pairwise-aligned runs (gaps-and-islands, one
+       row_number per diagonal). Each run IS a genuinely repeated
+       token string of >= ``window`` tokens with token-exact start
+       and end — the boundaries Lee et al.'s suffix array emits —
+       unlike the window-union mode where overlapping windows that
+       repeat against DIFFERENT partners chain into one span that
+       never occurs twice as a whole. Per doc, duplicate runs (same
+       interval via different partners) collapse and runs strictly
+       contained in a longer run of the same doc are pruned (a
+       running max of span ends over a (start asc, end desc) window).
+    4. with ``exact=False`` (the cheap window-granular mode):
+       per document, overlapping or adjacent flagged windows merge
+       into island spans. The token COVERAGE is identical to the
+       exact mode (every token of a repeated >=window-token run lies
+       in some flagged window and vice versa); only the span
+       segmentation is coarser.
 
     Fingerprints are 128 effective bits (two independently seeded
     xxhash64 over the space-joined window), computed JVM-side: at
@@ -811,18 +831,167 @@ def exact_substring_spans(
     cannot contain whitespace (the tokenizer splits on it), so the
     space join is injective.
 
+    Scale note for ``exact=True``: the pair join materializes
+    c*(c-1)/2 rows per fingerprint with c flagged occurrences —
+    quadratic in the duplication degree of boilerplate. A cheap count
+    probe (one aggregate over the already-needed hot-fingerprint
+    counts) rejects the call with guidance when the estimated pair
+    volume exceeds ``pair_budget`` (the ppjoin cost-probe
+    discipline); at that point either raise ``min_count``, pre-clean
+    boilerplate with :func:`dedup_paragraphs`, or fall back to
+    ``exact=False`` whose cost stays linear in the flagged windows.
+
     Returns one row per maximal repeated span:
     (id, span_start, span_end, n_tokens, n_windows) with 0-based
-    inclusive token positions. Deterministic; documents shorter than
-    ``window`` tokens produce no rows.
+    inclusive token positions (``n_windows`` = number of
+    ``window``-token windows inside the span). Deterministic;
+    documents shorter than ``window`` tokens produce no rows.
 
     What a user does with it: cut the spans out of the training text
     (keeping one canonical occurrence), exactly as the reference
     recipe does — this operator is the detection stage, which is the
     part that needs the cluster.
     """
-    flagged = _flagged_windows(df, id_col, text_col, window, min_count)
-    return _merge_islands(flagged.select("id", "start", "end"))
+    if not exact:
+        flagged = _flagged_windows(df, id_col, text_col, window, min_count)
+        return _merge_islands(flagged.select("id", "start", "end"))
+    from pyspark.sql import Window
+
+    runs = _pair_runs(
+        df, id_col, text_col, window, min_count, pair_budget
+    ).select("id", "start", "end").dropDuplicates()
+    # containment prune: a preceding row in (start asc, end desc)
+    # order has start' <= start (start' == start only with end' > end),
+    # so "strictly contained in another span" is exactly
+    # prev_max_end >= end
+    w = Window.partitionBy("id").orderBy(F.asc("start"), F.desc("end"))
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        runs.withColumn("_pme", F.coalesce(prev_max_end, F.lit(-1)))
+        .where(F.col("_pme") < F.col("end"))
+        .select(
+            "id",
+            F.col("start").alias("span_start"),
+            F.col("end").alias("span_end"),
+            (F.col("end") - F.col("start") + 1).alias("n_tokens"),
+            (F.col("end") - F.col("start") + 2 - window).alias("n_windows"),
+        )
+    )
+
+
+def _pair_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    min_count: int,
+    pair_budget: int,
+) -> DataFrame:
+    """One row per SIDE of each maximal pairwise-aligned duplicated
+    token run: (id, start, end, key1, key2, run_len) where
+    (key1, key2, run_len) identifies the run CONTENT — key1/key2 are
+    the 128-bit fingerprint of the run's FIRST window, so two runs
+    with equal content share the key (unequal content collides only
+    at 128-bit fingerprint odds, the same discipline the window flag
+    stage already accepts).
+
+    Shape: flagged-window self-join on the fingerprint (ordered
+    occurrence pairs, each unordered pair once), then gaps-and-islands
+    per (idA, idB, diagonal) over consecutive A-starts — a run of m
+    consecutive matched windows is a repeated token string of
+    m + window - 1 tokens, maximal because a one-token extension on
+    either side would be another matched window on the same diagonal
+    (flagged too: its fingerprint occurs at both ends of THIS pair,
+    hence >= 2 times; with min_count > 2 runs clip to windows hot
+    enough corpus-wide, the natural generalization). Both sides of
+    each island are emitted (B's interval is A's shifted by the
+    diagonal)."""
+    wins = _token_windows(
+        df, id_col, text_col, window, out_col="_s", with_pos=True
+    ).select(
+        "id",
+        "start",
+        F.xxhash64("_s", F.lit(1)).alias("fp1"),
+        F.xxhash64("_s", F.lit(2)).alias("fp2"),
+    )
+    counts = wins.groupBy("fp1", "fp2").agg(F.count("*").alias("_n"))
+    hot = counts.where(F.col("_n") >= min_count)
+    # pair-volume probe BEFORE the quadratic join (see docstring)
+    est = hot.agg(
+        F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("pairs")
+    ).collect()[0]["pairs"]
+    if est is not None and est > pair_budget:
+        raise ValueError(
+            f"exact substring pair join would materialize ~{int(est)} "
+            f"occurrence pairs (> pair_budget={pair_budget}); raise "
+            "min_count, pre-clean boilerplate, or use exact=False"
+        )
+    occ = wins.join(hot.select("fp1", "fp2"), ["fp1", "fp2"])
+    a = occ.select(
+        F.col("fp1"), F.col("fp2"),
+        F.col("id").alias("_ida"), F.col("start").alias("_sa"),
+    )
+    b = occ.select(
+        F.col("fp1").alias("_bfp1"), F.col("fp2").alias("_bfp2"),
+        F.col("id").alias("_idb"), F.col("start").alias("_sb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("fp1") == F.col("_bfp1"))
+        & (F.col("fp2") == F.col("_bfp2"))
+        & (
+            (F.col("_ida") < F.col("_idb"))
+            | ((F.col("_ida") == F.col("_idb")) & (F.col("_sa") < F.col("_sb")))
+        ),
+    ).select(
+        "_ida", "_sa", "_idb", "_sb",
+        (F.col("_sa") - F.col("_sb")).alias("_diag"),
+        "fp1", "fp2",
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("_ida", "_idb", "_diag").orderBy("_sa")
+    islands = (
+        pairs.withColumn(
+            "_grp", F.col("_sa") - F.row_number().over(wd)
+        )
+        .groupBy("_ida", "_idb", "_diag", "_grp")
+        .agg(
+            F.min("_sa").alias("_a0"),
+            F.max("_sa").alias("_a1"),
+            F.min(F.struct("_sa", "fp1", "fp2")).alias("_first"),
+            # whole-run content key: xor over the run's window
+            # fingerprints (order-insensitive, but combined with the
+            # first-window fps and the length it identifies the exact
+            # window-fp SEQUENCE up to engineered collisions)
+            F.expr("bit_xor(fp1)").alias("xkey1"),
+            F.expr("bit_xor(fp2)").alias("xkey2"),
+        )
+        .select(
+            "_ida", "_idb", "_diag", "_a0", "_a1",
+            F.col("_first.fp1").alias("key1"),
+            F.col("_first.fp2").alias("key2"),
+            "xkey1",
+            "xkey2",
+            (F.col("_a1") - F.col("_a0") + window).alias("run_len"),
+        )
+    )
+    keys = ["key1", "key2", "xkey1", "xkey2", "run_len"]
+    side_a = islands.select(
+        F.col("_ida").alias("id"),
+        F.col("_a0").alias("start"),
+        (F.col("_a1") + window - 1).alias("end"),
+        *keys,
+    )
+    side_b = islands.select(
+        F.col("_idb").alias("id"),
+        (F.col("_a0") - F.col("_diag")).alias("start"),
+        (F.col("_a1") - F.col("_diag") + window - 1).alias("end"),
+        *keys,
+    )
+    return side_a.unionByName(side_b)
 
 
 def _flagged_windows(
@@ -904,6 +1073,8 @@ def cut_repeated_spans(
     text_col: str,
     window: int = 50,
     min_count: int = 2,
+    exact: bool = True,
+    pair_budget: int = 50_000_000,
 ) -> DataFrame:
     """The REMOVAL stage completing the exact-substring recipe: every
     repeated ``window``-token occurrence is cut from the corpus except
@@ -911,7 +1082,24 @@ def cut_repeated_spans(
     every duplicated substring" step the published suffix-array
     implementation applies after detection.
 
-    Canonical choice is deterministic: per fingerprint, the occurrence
+    With ``exact=True`` (default — the Lee et al. token-exact
+    semantics) the duplication unit is the maximal pairwise-aligned
+    repeated RUN from :func:`_pair_runs`: per run content (identified
+    by first-window fingerprint + xor of all window fingerprints +
+    length) the occurrence with the smallest (id, start) is canonical
+    and survives INTACT — protection is run-aligned, so the surviving
+    copy keeps its exact token boundaries instead of the scattered
+    per-window protection of the legacy mode, where a fingerprint
+    shared with a different run in a lower-id document could yank
+    single windows out of the keep set and clip the survivor by up to
+    window-1 tokens per edge. Tokens covered by a non-canonical run
+    occurrence and not inside any canonical occurrence of the same
+    document are cut. The token-coverage of the cut set equals the
+    legacy mode's (both are flagged-window unions); only the
+    protection boundaries differ.
+
+    With ``exact=False`` (legacy window-granular mode): canonical
+    choice is per window fingerprint — the occurrence
     with the smallest (id, start) survives. Tokens covered only by
     NON-canonical flagged windows are cut; tokens inside a canonical
     window are protected, so the surviving copy is never clipped by an
@@ -935,12 +1123,27 @@ def cut_repeated_spans(
     """
     from pyspark.sql import Window
 
-    flagged = _flagged_windows(df, id_col, text_col, window, min_count)
-    # canonical occurrence per fingerprint = min (id, start)
-    canon_first = F.row_number().over(
-        Window.partitionBy("fp1", "fp2").orderBy("id", "start")
-    )
-    marked = flagged.withColumn("_is_canon", canon_first == 1)
+    if exact:
+        occ = _pair_runs(
+            df, id_col, text_col, window, min_count, pair_budget
+        ).dropDuplicates(["id", "start", "end"])
+        # canonical occurrence per run CONTENT = min (id, start); the
+        # per-content partition is bounded by the duplication degree
+        # of that one run (the pair_budget probe has already rejected
+        # pathological degrees before this point)
+        canon_first = F.row_number().over(
+            Window.partitionBy(
+                "key1", "key2", "xkey1", "xkey2", "run_len"
+            ).orderBy("id", "start")
+        )
+        marked = occ.withColumn("_is_canon", canon_first == 1)
+    else:
+        flagged = _flagged_windows(df, id_col, text_col, window, min_count)
+        # canonical occurrence per fingerprint = min (id, start)
+        canon_first = F.row_number().over(
+            Window.partitionBy("fp1", "fp2").orderBy("id", "start")
+        )
+        marked = flagged.withColumn("_is_canon", canon_first == 1)
     cut_ranges = (
         _merge_islands(
             marked.where(~F.col("_is_canon")).select("id", "start", "end")

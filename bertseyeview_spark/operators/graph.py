@@ -544,7 +544,9 @@ def weighted_shortest_paths(
     edges (sources at 0.0; unreachable vertices absent). Negative
     weights are rejected (Bellman-Ford would need V-1 rounds to be
     exact with them; the fixed round cap is the oracle-replayable
-    contract).
+    contract); NaN weights are dropped like nulls — NaN evades a
+    ``< 0`` guard and would otherwise propagate through min/+ as a
+    NaN cost for every vertex behind the edge.
 
     Distributed shape: Bellman-Ford frontier relaxation, the delta-
     stepping degenerate form that needs no priority queue — per round
@@ -567,6 +569,11 @@ def weighted_shortest_paths(
             F.col("src").isNotNull()
             & F.col("dst").isNotNull()
             & F.col("_w").isNotNull()
+            # NaN weights are dropped alongside nulls, not rejected:
+            # NaN < 0 is false so the negative guard below never sees
+            # them, and min()/+ would otherwise propagate NaN costs to
+            # every vertex reachable only through such an edge
+            & ~F.isnan("_w")
         )
         .groupBy("src", "dst")
         .agg(F.min("_w").alias("_w"))

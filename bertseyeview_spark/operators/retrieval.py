@@ -58,10 +58,15 @@ def bm25_search(
     # -> tiny shuffle of matched terms.
     # null-text docs carry no tokens: the explode-based formulation
     # (and the SQL oracle's unnest) never sees them, so they must not
-    # inflate n_docs/avg_dl here either
+    # inflate n_docs/avg_dl here either. Tokenization is the canonical
+    # norm_tokens (edge-strip + empty guard): an empty/whitespace-only
+    # doc contributes dl=0 to avg_dl instead of a phantom '' token
+    # with dl=1 (the r6 tokenizer-drift class, ADVICE r6 #2)
+    from .textquality import norm_tokens
+
     base = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("w"),
+        norm_tokens(text_col).alias("w"),
     ).select("id", F.size("w").alias("dl"), "w")
 
     # corpus scalars as a broadcast 1-row relation (no collect)

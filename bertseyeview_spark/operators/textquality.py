@@ -269,12 +269,12 @@ def gopher_quality_flags(
     whole-stage-codegen'd splits + one (id, bigram) grouped count; no
     Python. Returns per-doc signals + booleans + a combined keep flag.
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # the canonical norm_tokens (edge-strip + empty guard): the old
+    # local trim()-based guard missed tab/CRLF-only and tab-edged
+    # documents (phantom '' tokens — the r6 tokenizer-drift class)
     base = df.select(
         F.col(id_col).alias("id"),
-        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array())
-        .otherwise(words)
-        .alias("w"),
+        norm_tokens(text_col).alias("w"),
     ).select(
         "id",
         F.size("w").alias("n_words"),
@@ -361,17 +361,25 @@ def c4_line_filter(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Regexes stay inside the RE2-safe subset (explicit char classes,
     no lookaround) so the SQL oracle replays them exactly.
     """
-    text = F.coalesce(F.col(text_col), F.lit(""))
+    # pre-select the text under a fixed alias so the F.expr SQL never
+    # interpolates a raw user column name (a name needing backtick
+    # quoting — space/dot/hyphen — would break parsing or silently
+    # resolve wrong; F.col handles those, string splicing doesn't)
+    df = df.select(
+        F.col(id_col).alias("_c4id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_c4txt"),
+    )
+    text = F.col("_c4txt")
     kept = F.expr(
         "filter("
-        "  transform(split(coalesce(" + text_col + ", ''), '\n'),"
+        "  transform(split(_c4txt, '\n'),"
         "            c4l -> regexp_replace(c4l, '^[ \\t\\r]+|[ \\t\\r]+$', '')),"
         "  c4t -> c4t rlike '[.!?\"]$'"
         "     AND c4t rlike '^[^ \\t]+([ \\t]+[^ \\t]+){2,}'"
         "     AND NOT contains(lower(c4t), 'javascript'))"
     )
     base = df.select(
-        F.col(id_col).alias("id"),
+        F.col("_c4id").alias("id"),
         F.size(F.split(text, "\n")).alias("n_lines"),
         kept.alias("_kept"),
         text.alias("_orig"),

@@ -43,20 +43,29 @@ def anchor_text_topk(
 
     ``n_inlinks`` counts the surviving (non-empty-anchor) links;
     ``rank`` orders by (count desc, anchor asc) — a total order, so
-    output is deterministic under any partitioning.
+    output is deterministic under any partitioning. Totals are
+    computed from the UNFILTERED pair counts, so ``min_count`` (which
+    prunes the ranked list) never changes a target's reported in-link
+    mass or unique-anchor count.
 
     Distributed shape: ONE (target, anchor) grouped count with
     map-side combine (the shuffle carries pre-aggregated pairs, not
     links), per-target totals as a second grouped agg over that
     (already partitioned on the target key), and the top-k as a
-    per-target window over UNIQUE anchors — bounded by the anchor
-    vocabulary of a target, not its in-degree. For true hub targets
-    whose unique-anchor vocabulary is itself huge, ``min_count``
-    drops singleton anchors BEFORE the window sort (the standard
-    hub treatment; default keeps everything for exactness).
+    TWO-PHASE window: anchors are salted into ``n_salts`` buckets by
+    anchor hash, each (target, bucket) keeps its local top-k, and the
+    final per-target window sorts only the <= n_salts*k survivors.
+    Because the pair counts are already final when the buckets are
+    cut, every true global top-k anchor is within its bucket's top-k,
+    so the two-phase result is EXACT — a mega-hub whose unique-anchor
+    vocabulary is millions of rows never sorts its full vocabulary in
+    one window partition (the r6 watch item), yet no exactness opt-in
+    is needed. ``min_count`` remains the optional mass prune for the
+    ranked list.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    n_salts = 16
     # collapse BEFORE trimming: trim() strips only 0x20, so a
     # tab/newline-padded anchor would otherwise survive as ' ' or
     # ' foo' and fragment counts (r6 review finding)
@@ -69,16 +78,26 @@ def anchor_text_topk(
         .groupBy("id", "anchor")
         .agg(F.count("*").alias("n_mentions"))
     )
-    if min_count > 1:
-        pairs = pairs.where(F.col("n_mentions") >= min_count)
+    # totals BEFORE any min_count prune: n_inlinks/n_unique_anchors
+    # describe the target's full in-link mass (ADVICE r6)
     totals = pairs.groupBy("id").agg(
         F.sum("n_mentions").cast("bigint").alias("n_inlinks"),
         F.count("*").alias("n_unique_anchors"),
     )
-    w = Window.partitionBy("id").orderBy(
-        F.desc("n_mentions"), F.asc("anchor")
+    ranked = pairs
+    if min_count > 1:
+        ranked = ranked.where(F.col("n_mentions") >= min_count)
+    order = (F.desc("n_mentions"), F.asc("anchor"))
+    w_local = Window.partitionBy("id", "_salt").orderBy(*order)
+    cand = (
+        ranked.withColumn(
+            "_salt", F.pmod(F.xxhash64("anchor"), F.lit(n_salts))
+        )
+        .withColumn("_lr", F.row_number().over(w_local))
+        .where(F.col("_lr") <= k)
     )
-    topk = pairs.withColumn("rank", F.row_number().over(w)).where(
+    w = Window.partitionBy("id").orderBy(*order)
+    topk = cand.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
     return topk.join(totals, "id").select(
@@ -238,7 +257,8 @@ def robots_filter(
 
     with NULL matched_* when nothing matched (filter-as-annotation,
     like gopher_quality_flags). Host extraction lowercases and strips
-    port/userinfo; the path keeps its query string (robots prefixes
+    port/userinfo and IPv6 literal brackets (``[2001:db8::1]:8080``
+    joins as ``2001:db8::1``); the path keeps its query string (robots prefixes
     may legitimately match into ``?``); literal prefixes only (no
     ``*``/``$`` wildcard interpretation — see :func:`parse_robots`).
 
@@ -256,6 +276,10 @@ def robots_filter(
     )
     host = F.regexp_replace(host, r"^.*@", "")
     host = F.regexp_replace(host, r":\d+$", "")
+    # IPv6 literals arrive bracketed ('[2001:db8::1]:8080'); after the
+    # port strip the brackets must go too or the host never equi-joins
+    # to rules keyed by the bare address form
+    host = F.regexp_replace(host, r"^\[|\]$", "")
     path_raw = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     base = urls.select(

@@ -107,6 +107,134 @@ def test_cut_repeated_spans_planted(spark):
     }
 
 
+def test_exact_substring_spans_token_exact(spark):
+    """The r7 token-exact contract (Lee et al. boundaries): chained
+    overlapping repeats against DIFFERENT partners must come back as
+    separate runs with exact start/end tokens — the legacy window-union
+    mode merged them into one span that never occurs twice as a whole —
+    and runs contained in a longer run of the same doc are pruned."""
+    base = " ".join(f"w{i}" for i in range(12)) + " x y z"
+    rows = [
+        (10, base),                                   # w0..w11 x y z
+        (11, "a b w0 w1 w2 w3 w4 w5 w6 c"),           # base[0..6] at 2..8
+        (12, "d e f w4 w5 w6 w7 w8 w9 w10 w11 g"),    # base[4..11] at 3..10
+        (13, "p q w1 w2 w3 w4 r s t u"),              # base[1..4] at 2..5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id"], r["span_start"]): (
+            r["span_end"], r["n_tokens"], r["n_windows"]
+        )
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    assert got == {
+        # doc 10: TWO exact runs (vs 11 and vs 12), not one [0,11] span;
+        # the [1,4] run vs doc 13 is contained in [0,6] -> pruned
+        (10, 0): (6, 7, 4),
+        (10, 4): (11, 8, 5),
+        (11, 2): (8, 7, 4),       # its own copy of base[0..6]
+        (12, 3): (10, 8, 5),      # its own copy of base[4..11]
+        (13, 2): (5, 4, 1),       # maximal THERE, so it stays
+    }
+    # the legacy window-union mode is still available and chains the
+    # two doc-10 runs into one non-repeating span — pin the difference
+    legacy = {
+        (r["id"], r["span_start"]): r["span_end"]
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=2, exact=False
+        ).collect()
+        if r["id"] == 10
+    }
+    assert legacy == {(10, 0): 11}
+
+
+def test_exact_substring_coverage_identity(spark):
+    """Token COVERAGE (which tokens sit inside some repeated >=window
+    run) is provably identical between the exact and window-union
+    modes; only the span segmentation differs. Fuzz a seeded corpus
+    with heavy phrase reuse and assert the per-doc covered-token sets
+    match exactly."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    phrases = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 9)))
+        for _ in range(6)
+    ]
+    rows = []
+    for i in range(20):
+        parts = [
+            rng.choice(phrases) if rng.random() < 0.6
+            else " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 6)))
+            for _ in range(rng.randint(2, 5))
+        ]
+        rows.append((i, " ".join(parts)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def coverage(exact):
+        cov = {}
+        for r in D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=2, exact=exact
+        ).collect():
+            cov.setdefault(r["id"], set()).update(
+                range(r["span_start"], r["span_end"] + 1)
+            )
+        return cov
+
+    assert coverage(True) == coverage(False)
+
+
+def test_cut_repeated_spans_run_aligned_canonical(spark):
+    """Exact-mode keep-one is RUN-aligned: the canonical occurrence of
+    a repeated run survives intact even when one of its windows also
+    occurs inside different content in a lower-id document (the legacy
+    per-window canonical clipped the survivor's edge in that case)."""
+    rows = [
+        (0, "k1 k2 m1 m2 m3 m4 k3 k4 k5"),            # holds M = m1..m4
+        (5, "m1 m2 m3 m4 m5 m6 m7 m8"),               # run Y, canonical
+        (6, "z1 m1 m2 m3 m4 m5 m6 m7 m8 z2"),         # copy of Y
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens"], r["n_tokens_cut"])
+        for r in D.cut_repeated_spans(
+            df, "doc_id", "text", window=4, min_count=2
+        ).collect()
+    }
+    assert got == {
+        # doc 0 is the canonical home of content M -> untouched
+        0: ("k1 k2 m1 m2 m3 m4 k3 k4 k5", 9, 0),
+        # doc 5 is the canonical home of run Y and survives INTACT —
+        # the legacy mode cut its first token because window m1..m4's
+        # per-window canonical lived in doc 0
+        5: ("m1 m2 m3 m4 m5 m6 m7 m8", 8, 0),
+        # doc 6 holds non-canonical occurrences of both M and Y
+        6: ("z1 z2", 10, 8),
+    }
+    # pin the legacy clipping behavior the exact mode fixes
+    legacy = {
+        r["id"]: r["clean_text"]
+        for r in D.cut_repeated_spans(
+            df, "doc_id", "text", window=4, min_count=2, exact=False
+        ).collect()
+    }
+    assert legacy[5] == "m2 m3 m4 m5 m6 m7 m8"
+
+
+def test_exact_substring_pair_budget_probe(spark):
+    """The quadratic pair join is guarded by a cost probe computed
+    from the hot-fingerprint counts BEFORE any pair materializes."""
+    rows = [(i, "dup " * 12) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="pair_budget"):
+        D.exact_substring_spans(
+            df, "doc_id", "text", window=4, min_count=2, pair_budget=10
+        ).collect()
+
+
 def test_ngram_jaccard_vs_python(spark, docs):
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
             D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
