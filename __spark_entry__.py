@@ -1961,6 +1961,45 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(edges, sources, max_hops=6)
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (gds.scc analogue, ColorSCC
+    peeling) over a deterministic block graph on the 500 doc_ids:
+    blocks of 10 by doc_id//10; blocks with block%3 != 2 are directed
+    10-cycles (one SCC each, diameter 9), block%3 == 2 blocks are
+    REVERSED chains (pos p -> p-1: ten singleton SCCs whose min-id
+    exposure is immediate), and every block's pos-0 vertex bridges
+    DOWNWARD into block-1 at pos 3. Downward-only bridges mean no
+    vertex has a smaller-id ancestor outside its own SCC, so every
+    SCC's min is a round-1 root and the whole graph peels in ONE
+    round — the oracle replays exactly that single peel (the
+    operator's second peel runs on a drained live set and is a
+    no-op by construction). 194 SCCs: 34 cycles of 10 + 160
+    singletons."""
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    blk = F.floor(d / 10)
+    pos = d % 10
+    cyc = docs.where(blk % 3 != 2).select(
+        d.alias("src"), (blk * 10 + (pos + 1) % 10).alias("dst")
+    )
+    chn = docs.where((blk % 3 == 2) & (pos > 0)).select(
+        d.alias("src"), (d - 1).alias("dst")
+    )
+    crs = docs.where((pos == 0) & (blk > 0)).select(
+        d.alias("src"), ((blk - 1) * 10 + 3).alias("dst")
+    )
+    edges = cyc.unionByName(chn).unionByName(crs)
+    out = strongly_connected_components(edges, max_peels=2, max_prop=10)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("scc_id").cast("long").alias("scc_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1989,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotate back in r7.
     return {
         # -- new this round --
+        "scc": q_scc,
         "weighted_sssp": q_weighted_sssp,
         "closeness_centrality": q_closeness_centrality,
         "dsir_select": q_dsir_select,
@@ -4116,6 +4156,54 @@ UNION ALL
 SELECT 'h' || hn::VARCHAR, 'url',
        'https://h' || hn::VARCHAR || '/padded', NULL, NULL, NULL, NULL
 FROM us
+""",
+        # scc: the plant peels in ONE round by construction (downward-
+        # only bridges -> every SCC min is a round-1 root), so the
+        # oracle replays exactly one ColorSCC peel: forward min-
+        # ancestor within 10 hops (recursive CTE), roots = fixpoints,
+        # backward reach to the root inside its color class, left join
+        # for never-NULL coverage of all vertices
+        "scc": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           (doc_id // 10) * 10 + ((doc_id % 10) + 1) % 10 AS dst
+    FROM documents WHERE (doc_id // 10) % 3 <> 2
+    UNION ALL
+    SELECT doc_id, doc_id - 1
+    FROM documents WHERE (doc_id // 10) % 3 = 2 AND doc_id % 10 > 0
+    UNION ALL
+    SELECT doc_id, ((doc_id // 10) - 1) * 10 + 3
+    FROM documents WHERE doc_id % 10 = 0 AND doc_id // 10 > 0
+  ) raw
+),
+-- NOT a bare top-level UNION: inside WITH RECURSIVE, DuckDB reads a
+-- CTE of shape (a UNION b) as base/step recursive form even when it
+-- never references itself, and the step re-runs (1066 rows from 500)
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+  ) u
+),
+anc(v, a, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT e.dst, anc.a, anc.d + 1 FROM anc JOIN e ON e.src = anc.v
+  WHERE anc.d < 10
+),
+color AS (SELECT v, min(a) AS c FROM anc GROUP BY v),
+roots AS (SELECT v FROM color WHERE c = v),
+m(v, r, d) AS (
+  SELECT v, v, 0 FROM roots
+  UNION
+  SELECT e.src, m.r, m.d + 1
+  FROM m JOIN e ON e.dst = m.v
+  JOIN color cs ON cs.v = e.src AND cs.c = m.r
+  WHERE m.d < 10
+),
+assigned AS (SELECT DISTINCT v, r FROM m)
+SELECT verts.v::BIGINT AS id, assigned.r::BIGINT AS scc_id
+FROM verts LEFT JOIN assigned ON assigned.v = verts.v
 """,
         # dedup_paragraphs: the oracle dedups on the NORMALIZED UNIT
         # STRING (same equivalence classes as the engine's xxhash64 of

@@ -825,3 +825,140 @@ def betweenness_centrality(
         .groupBy("id")
         .agg(F.round(F.sum("delta"), 6).alias("betweenness"))
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_peels: int = 3,
+    max_prop: int = 10,
+) -> DataFrame:
+    """Strongly connected components over a DIRECTED edge set — the
+    gds.scc analogue completing the components family next to the
+    undirected WCC (operators/canonicalize.py connected_components)
+    and label_propagation. On a crawl link graph the SCCs are the
+    classic bow-tie structure query (Broder et al. 2000): the giant
+    core, the IN/OUT tendrils, and the spam/link-farm cycles.
+
+    Algorithm: iterative coloring + peeling, the Orzan "ColorSCC"
+    shape every distributed SCC implementation uses (GraphX's
+    Pregel SCC is the same idea):
+
+      per peel round, on the still-unassigned ("live") subgraph:
+        1. FORWARD min-label propagation, ``max_prop`` rounds:
+           color(v) converges to the minimum vertex id that can
+           reach v within ``max_prop`` hops (v itself included).
+        2. Roots are vertices with color(v) == v. Vertex v belongs
+           to SCC(r) iff color(v) == r AND v can reach r through
+           vertices of color r (``max_prop``-hop backward BFS from
+           the roots, constrained to the root's color class) — the
+           mutual-reachability certificate: r reaches v (it colored
+           v) and v reaches r.
+        3. Assigned vertices leave the live set; repeat.
+
+    Every SCC whose minimum id has no smaller-id ancestor peels in
+    the round it becomes exposed, so ``max_peels`` bounds the min-id
+    nesting depth and ``max_prop`` bounds SCC diameter AND the
+    color-propagation radius. Both caps are FIXED so the plan is
+    static and an unrolled recursive-CTE oracle replays the
+    assignment exactly; with sufficient caps the result equals exact
+    SCC (pytest cross-checks against Tarjan on random digraphs). A
+    count probe exits early once the live set drains — the common
+    case after 1-2 peels — without changing the result (further
+    peels are no-ops on an empty set). Vertices still unassigned
+    when the caps run out are returned with scc_id NULL — honestly
+    undecided, never a wrong singleton.
+
+    Returns (id, scc_id) for every vertex, scc_id = the component's
+    minimum vertex id (NULL if undecided under the caps).
+
+    Distributed shape: everything is frontier/label relaxation —
+    per propagation round ONE equi-join of the V-sized color table
+    against the edge list plus a grouped min; the backward pass is
+    the bfs_distances frontier discipline keyed by (vertex, root).
+    State is O(V), work per peel O(E * max_prop) — the published
+    ColorSCC bound; no reachability SETS are ever materialized (the
+    oracle's pair enumeration is the small-scale replay only).
+    localCheckpoint flattens the looped lineage at the
+    bfs_distances cadence.
+    """
+    e0 = edges.select("src", "dst").where(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).distinct()
+    verts = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    live = verts.localCheckpoint(eager=True)
+    assigned = None
+    for _peel in range(max_peels):
+        if live.limit(1).count() == 0:
+            break
+        e = (
+            e0.join(live.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(live.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # 1. forward min-label propagation: color(v) -> min id
+        # reaching v within max_prop hops (monotone non-increasing,
+        # so a full-table least() per round is the textbook update)
+        color = live.select("id", F.col("id").alias("color"))
+        for r in range(1, max_prop + 1):
+            inc = (
+                color.select(F.col("id").alias("_cid"), "color")
+                .join(e, F.col("_cid") == F.col("src"))
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("_in_min"))
+            )
+            color = (
+                color.join(inc, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("color"), F.coalesce("_in_min", F.col("color"))
+                    ).alias("color"),
+                )
+            )
+            if r % 3 == 0:
+                color = color.localCheckpoint(eager=True)
+        color = color.localCheckpoint(eager=True)
+        # 2. backward BFS from the roots inside each color class:
+        # member(v) = r certifies the mutual reachability
+        roots = color.where(F.col("color") == F.col("id")).select(
+            "id", F.col("id").alias("scc_id")
+        )
+        member = roots
+        frontier = roots
+        for r in range(1, max_prop + 1):
+            new = (
+                frontier.select(F.col("id").alias("_mid"), "scc_id")
+                .join(e, F.col("_mid") == F.col("dst"))
+                .select(F.col("src").alias("id"), "scc_id")
+                # dedup on the PAIR before the color filter: a vertex
+                # reached by two roots' frontiers must not have its
+                # one legitimate (color-matching) candidate dropped by
+                # an id-only dedup picking the other root
+                .dropDuplicates(["id", "scc_id"])
+                .join(color, "id")
+                .where(F.col("color") == F.col("scc_id"))
+                .select("id", "scc_id")
+                .join(member.select("id"), "id", "left_anti")
+            )
+            member = member.unionByName(new)
+            frontier = new
+            if r % 3 == 0:
+                member = member.localCheckpoint(eager=True)
+                frontier = frontier.localCheckpoint(eager=True)
+        member = member.localCheckpoint(eager=True)
+        # 3. peel: assigned vertices leave the live set
+        assigned = (
+            member if assigned is None else assigned.unionByName(member)
+        )
+        live = live.join(member.select("id"), "id", "left_anti")
+        live = live.localCheckpoint(eager=True)
+    out = verts
+    if assigned is not None:
+        out = verts.join(assigned, "id", "left")
+    else:
+        out = verts.select("id", F.lit(None).cast(verts.schema["id"].dataType).alias("scc_id"))
+    return out.select("id", "scc_id")

@@ -505,3 +505,148 @@ def test_centralities_vs_bruteforce_random_graphs(spark):
         assert set(got_bc) == set(want_bc), seed
         for v, x in want_bc.items():
             assert got_bc[v] == pytest.approx(round(x, 6), abs=2e-6), (seed, v)
+
+
+def _py_tarjan(edges):
+    """Exact SCCs (iterative Tarjan); returns {vertex: min id in its SCC}
+    over the vertices that appear in the edge list."""
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(sorted(adj.get(root, []))))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(sorted(adj.get(w, [])))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+    return comp
+
+
+def test_scc_hand_graph(spark):
+    """Two cycles bridged by a one-way edge, a DAG chain, a 2-cycle:
+    SCC ids are each component's min vertex id."""
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        # 3-cycle {1,2,3}
+        (1, 2), (2, 3), (3, 1),
+        # one-way bridge into 3-cycle {4,5,6} (no back edge)
+        (3, 4), (4, 5), (5, 6), (6, 4),
+        # DAG chain of singletons
+        (6, 7), (7, 8),
+        # 2-cycle {9, 10}
+        (8, 9), (9, 10), (10, 9),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            # 5 peel rounds: the min-id exposure chain runs
+            # {1,2,3} -> {4,5,6} -> {7} -> {8} -> {9,10}
+            df, max_peels=5, max_prop=10
+        ).collect()
+    }
+    want = _py_tarjan(edges)
+    assert got == want
+
+
+def test_scc_vs_tarjan_random_digraphs(spark):
+    """Capped ColorSCC against exact Tarjan on seeded random digraphs
+    with caps sized to the graph (prop >= longest path, peels >= #SCCs
+    via the early-exit drain)."""
+    import random
+
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    for seed in (5, 23, 71):
+        rng = random.Random(seed)
+        n = 14
+        nodes = list(range(n))
+        edges = set()
+        while len(edges) < 26:
+            a, b = rng.sample(nodes, 2)
+            edges.add((a, b))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["id"]: r["scc_id"]
+            for r in strongly_connected_components(
+                df, max_peels=n, max_prop=n
+            ).collect()
+        }
+        assert got == _py_tarjan(edges), seed
+
+
+def test_scc_insufficient_caps_returns_null_not_wrong(spark):
+    """A long 2-SCC chain under a starved peel cap: the peeled prefix
+    is correct and the rest is NULL (undecided), never a wrong id."""
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    # chain of 2-cycles: {0,1} -> {2,3} -> {4,5} -> {6,7}, bridges one
+    # way DOWNSTREAM, so higher blocks have smaller-id ancestors and
+    # only the exposed head peels per round
+    edges = []
+    for b in range(4):
+        u, v = 2 * b, 2 * b + 1
+        edges += [(u, v), (v, u)]
+        if b:
+            edges.append((2 * (b - 1), u))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            df, max_peels=2, max_prop=8
+        ).collect()
+    }
+    assert got[0] == 0 and got[1] == 0
+    assert got[2] == 2 and got[3] == 2
+    assert got[6] is None and got[7] is None
