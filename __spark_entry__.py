@@ -1981,6 +1981,103 @@ def q_betweenness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(edges, sources, max_hops=6)
 
 
+def q_crawl_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-discovery recipe (plans/crawl_discovery.py)
+    end-to-end over the 12 planted hosts: messy fetched URLs (case,
+    userinfo, default port, fragment, trailing slash — all of which
+    must canonicalize onto one spelling per page), the q_robots_filter
+    robots bodies for agent 'bevbot', sitemaps whose <urlset> hosts
+    contribute two pages each — one of which ('/bev/data') ALSO
+    arrives via fetch (both provenance flags set) and is DISALLOWED on
+    hn%3==0 hosts (the sitemap leg must be gated too) — and a link
+    table with messy targets whose rank-1 normalized anchor becomes
+    the naming evidence (one host-path class carries only the
+    whitespace-only phrase -> NULL naming). Composition is the test:
+    the canonicalizer, the robots host key, the union dedup, and the
+    anchor target key must all agree on the same spelling."""
+    from bertseyeview_spark.plans.crawl_discovery import discover_urls
+
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    hn = d % 12
+    hostname = F.concat(F.lit("h"), hn.cast("string"))
+    body = F.concat(
+        F.when(
+            hn % 4 == 0,
+            F.lit("# pre-group rules are ignored\nDisallow: /early-ignored/\n"),
+        ).otherwise(F.lit("")),
+        F.lit("User-Agent: *\nDISALLOW: /private/  # comment\nAllow: /private/ok\n"),
+        F.when(
+            hn % 3 == 0,
+            F.lit(
+                "User-agent: bevbot\nUser-agent: otherbot\n"
+                "Disallow: /bev/\nAllow: /bev/pub/\n"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            hn % 5 == 0, F.lit("User-agent: bevbot\nDisallow:\n")
+        ).otherwise(F.lit("")),
+    )
+    robots = docs.where(d < 12).select(
+        hostname.alias("host"), body.alias("robots_txt")
+    )
+    path = (
+        F.when(d % 5 == 0, F.lit("/private/secret"))
+        .when(d % 5 == 1, F.lit("/private/ok/page"))
+        .when(d % 5 == 2, F.lit("/bev/data"))
+        .when(d % 5 == 3, F.lit("/bev/pub/x"))
+        .otherwise(F.lit("/open/page"))
+    )
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("HTTPS://crawler@H"), hn.cast("string"),
+                F.lit(":443"), path, F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(F.lit("https://h"), hn.cast("string"), path, F.lit("/")),
+        )
+        .otherwise(F.concat(F.lit("https://h"), hn.cast("string"), path))
+    )
+    fetched = docs.select(url.alias("url"))
+    urlset_xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<url><loc>https://h"), hn.cast("string"),
+        F.lit("/smap/page"), (hn % 3).cast("string"), F.lit("</loc></url>"),
+        F.lit("<url><loc>  https://h"), hn.cast("string"),
+        F.lit("/bev/data  </loc></url></urlset>"),
+    )
+    index_xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.lit("<sitemap><loc>https://h"), hn.cast("string"),
+        F.lit("/s1.xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = docs.where(d < 12).select(
+        hostname.alias("host"),
+        F.when(hn % 4 == 0, index_xml).otherwise(urlset_xml).alias("xml"),
+    )
+    phrases = F.array(
+        F.lit("Entity Alpha"), F.lit("entity  alpha"), F.lit("Beta Node "),
+        F.lit("the beta node"), F.lit("Gamma Hub"), F.lit("   "),
+    )
+    dst = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("HTTPS://H"), hn.cast("string"), F.lit(":443"), path),
+    ).otherwise(F.concat(F.lit("https://h"), hn.cast("string"), path))
+    links = docs.select(
+        dst.alias("dst"),
+        F.element_at(
+            phrases, ((F.floor(d / 60) + d) % 6 + 1).cast("int")
+        ).alias("anchor"),
+    )
+    return discover_urls(
+        fetched, robots, sitemaps, links, agent="bevbot"
+    )
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (gds.scc analogue, ColorSCC
     peeling) over a deterministic block graph on the 500 doc_ids:
@@ -2050,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round --
         "scc": q_scc,
         "text_chunking_bpe": q_text_chunking_bpe,
+        "crawl_discovery": q_crawl_discovery,
         "weighted_sssp": q_weighted_sssp,
         "closeness_centrality": q_closeness_centrality,
         "dsir_select": q_dsir_select,
@@ -4243,6 +4341,102 @@ UNION ALL
 SELECT 'h' || hn::VARCHAR, 'url',
        'https://h' || hn::VARCHAR || '/padded', NULL, NULL, NULL, NULL
 FROM us
+""",
+        # crawl_discovery: every leg derived ANALYTICALLY — the messy
+        # fetched spellings collapse to one canonical url per (host,
+        # path) class BY CONSTRUCTION (so the oracle never re-runs a
+        # canonicalizer), the rule set is the robots_filter analytic
+        # derivation, sitemap pages come straight from the plant
+        # structure, and provenance flags replay the union dedup
+        "crawl_discovery": r"""
+WITH f0 AS (
+  SELECT doc_id % 12 AS hn,
+         CASE doc_id % 5 WHEN 0 THEN '/private/secret'
+              WHEN 1 THEN '/private/ok/page' WHEN 2 THEN '/bev/data'
+              WHEN 3 THEN '/bev/pub/x' ELSE '/open/page' END AS p
+  FROM documents
+),
+fetched AS (SELECT DISTINCT hn, p FROM f0),
+hosts AS (SELECT DISTINCT doc_id % 12 AS hn FROM documents),
+smap AS (
+  SELECT hn, '/smap/page' || (hn % 3)::VARCHAR AS p
+  FROM hosts WHERE hn % 4 <> 0
+  UNION ALL
+  SELECT hn, '/bev/data' FROM hosts WHERE hn % 4 <> 0
+),
+disc AS (
+  SELECT hn, p, bool_or(ff) AS from_fetched, bool_or(fs) AS from_sitemap
+  FROM (
+    SELECT hn, p, TRUE AS ff, FALSE AS fs FROM fetched
+    UNION ALL
+    SELECT hn, p, FALSE, TRUE FROM smap
+  ) u GROUP BY hn, p
+),
+rules AS (
+  SELECT 'h' || hn::VARCHAR AS host, 'disallow' AS rule,
+         '/private/' AS path_prefix
+  FROM hosts WHERE hn % 3 <> 0 AND hn % 5 <> 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'allow', '/private/ok'
+  FROM hosts WHERE hn % 3 <> 0 AND hn % 5 <> 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'disallow', '/bev/' FROM hosts WHERE hn % 3 = 0
+  UNION ALL
+  SELECT 'h' || hn::VARCHAR, 'allow', '/bev/pub/' FROM hosts WHERE hn % 3 = 0
+),
+urls AS (
+  SELECT 'https://h' || hn::VARCHAR || p AS url, 'h' || hn::VARCHAR AS host,
+         p AS path, from_fetched, from_sitemap
+  FROM disc
+),
+best AS (
+  SELECT url, matched_rule, matched_prefix FROM (
+    SELECT u.url, r.rule AS matched_rule, r.path_prefix AS matched_prefix,
+      row_number() OVER (PARTITION BY u.url
+        ORDER BY length(r.path_prefix) DESC, (r.rule = 'allow') DESC,
+                 r.path_prefix ASC, r.rule ASC) AS rn
+    FROM urls u
+    JOIN rules r ON u.host = r.host AND starts_with(u.path, r.path_prefix)
+  ) WHERE rn = 1
+),
+ph(pi, a) AS (VALUES
+  (0, 'Entity Alpha'), (1, 'entity  alpha'), (2, 'Beta Node '),
+  (3, 'the beta node'), (4, 'Gamma Hub'), (5, '   ')),
+l0 AS (
+  SELECT 'https://h' || (doc_id % 12)::VARCHAR ||
+         CASE doc_id % 5 WHEN 0 THEN '/private/secret'
+              WHEN 1 THEN '/private/ok/page' WHEN 2 THEN '/bev/data'
+              WHEN 3 THEN '/bev/pub/x' ELSE '/open/page' END AS dst,
+         ((doc_id // 60) + doc_id) % 6 AS pi
+  FROM documents
+),
+norm AS (
+  SELECT dst,
+         trim(regexp_replace(lower(a), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS anchor
+  FROM l0 JOIN ph USING (pi)
+),
+pairs AS (
+  SELECT dst, anchor, count(*)::BIGINT AS n
+  FROM norm WHERE anchor <> '' GROUP BY 1, 2
+),
+tot AS (SELECT dst, sum(n)::BIGINT AS n_inlinks FROM pairs GROUP BY 1),
+topa AS (
+  SELECT dst, anchor, n FROM (
+    SELECT dst, anchor, n,
+           row_number() OVER (PARTITION BY dst
+                              ORDER BY n DESC, anchor ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+)
+SELECT u.url, u.host, u.path, u.from_fetched, u.from_sitemap,
+       (b.matched_rule IS NULL OR b.matched_rule = 'allow') AS allowed,
+       b.matched_rule, b.matched_prefix,
+       topa.anchor AS top_anchor, topa.n AS top_anchor_mentions,
+       tot.n_inlinks
+FROM urls u
+LEFT JOIN best b ON b.url = u.url
+LEFT JOIN topa ON topa.dst = u.url
+LEFT JOIN tot ON tot.dst = u.url
 """,
         # scc: the plant peels in ONE round by construction (downward-
         # only bridges -> every SCC min is a round-1 root), so the

@@ -277,3 +277,90 @@ def test_sitemap_parse_plan_zero_shuffle(spark, sf_dir):
     assert "Join" not in plan
     gen = [l for l in plan.splitlines() if "Generate" in l]
     assert gen and all("xml" not in l for l in gen)
+
+
+def test_crawl_discovery_composition(spark):
+    """The composed plan's cross-leg agreements: one canonicalizer
+    feeds the union dedup, the robots host key, and the anchor target
+    key — messy spellings on ANY leg must land on the same row."""
+    from bertseyeview_spark.plans.crawl_discovery import discover_urls
+
+    fetched = spark.createDataFrame(
+        [
+            # messy: canonicalizes to https://site.example/private/x
+            ("HTTPS://bot@SITE.Example:443/private/x#top",),
+            # trailing slash: -> https://site.example/pub/a
+            ("https://site.example/pub/a/",),
+            # also arrives via the sitemap -> both flags
+            ("https://site.example/both",),
+            ("https://other.example/free",),
+        ],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("site.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                "site.example",
+                "<urlset><url><loc>https://site.example/both</loc></url>"
+                "<url><loc>  https://SITE.example/private/smap  </loc></url>"
+                "</urlset>",
+            ),
+            (
+                "idx.example",
+                "<sitemapindex><sitemap><loc>https://idx.example/s.xml"
+                "</loc></sitemap></sitemapindex>",
+            ),
+        ],
+        "host string, xml string",
+    )
+    links = spark.createDataFrame(
+        [
+            # messy dst -> must name https://site.example/pub/a
+            ("https://site.example:443/pub/a", "Alpha  Page"),
+            ("https://site.example/pub/a", "alpha page"),
+            ("https://site.example/pub/a", "Other Name"),
+            ("https://site.example/both", "   "),  # whitespace-only only
+        ],
+        "dst string, anchor string",
+    )
+    rows = {
+        r["url"]: r
+        for r in discover_urls(fetched, robots, sitemaps, links).collect()
+    }
+    # messy fetch spelling canonicalized, then gated by the
+    # lowercase-host rules
+    assert set(rows) == {
+        "https://site.example/private/x", "https://site.example/pub/a",
+        "https://site.example/both", "https://other.example/free",
+        "https://site.example/private/smap",
+    }
+    r = rows["https://site.example/private/x"]
+    assert (r["allowed"], r["matched_rule"]) == (False, "disallow")
+    assert (r["from_fetched"], r["from_sitemap"]) == (True, False)
+    # sitemap-discovered URL is gated too (messy sitemap host spelling
+    # canonicalized first)
+    s = rows["https://site.example/private/smap"]
+    assert (s["allowed"], s["from_fetched"], s["from_sitemap"]) == (
+        False, False, True,
+    )
+    # overlap carries both provenance flags
+    b = rows["https://site.example/both"]
+    assert (b["from_fetched"], b["from_sitemap"], b["allowed"]) == (
+        True, True, True,
+    )
+    # whitespace-only anchors carry no naming evidence
+    assert b["top_anchor"] is None and b["n_inlinks"] is None
+    # naming: messy dst canonicalized onto the page row; 'alpha page'
+    # normalization merges two spellings (2 mentions > 1)
+    a = rows["https://site.example/pub/a"]
+    assert (a["top_anchor"], a["top_anchor_mentions"], a["n_inlinks"]) == (
+        "alpha page", 2, 3,
+    )
+    # the sitemapindex host contributes no page URLs; a host with no
+    # robots rules is allowed
+    f = rows["https://other.example/free"]
+    assert f["allowed"] and f["matched_rule"] is None
