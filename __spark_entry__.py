@@ -2131,79 +2131,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (proven in round-3 VERDICT). STANDING ROTATION POLICY (since r5): each
     # round the window holds (a) every new or changed query, then (b) the
     # queries whose newest driver CORRECTNESS row is OLDEST, so no registered
-    # query's freshest driver row ever ages past two rounds. This round (r6):
-    # weighted_sssp / closeness_centrality / betweenness_centrality /
-    # dsir_select / c4_line_filter / anchor_text_topk / robots_filter /
-    # dedup_paragraphs / sitemap_parse are new; text_chunking /
-    # substring_cut / repetition_signals / exact_substring_dedup sit on the
-    # changed norm_tokens empty-guard, so they stay in despite fresh r05
-    # rows; then the 30 queries displaced in r5 (newest row r04 — the
-    # oldest in the registry); the last 7 slots are r05-green fill
-    # prioritized by operators touched this round (tokenizer consumers,
-    # scale-stress + ANN-recall subjects, the flagship). The 39 displaced
-    # past the cutoff ALL hold all-green r05 rows (one round old) and
-    # rotate back in r7.
+    # query's freshest driver row ever ages past two rounds. This round (r7):
+    # scc / text_chunking_bpe / crawl_discovery are new; exact_substring_dedup
+    # and substring_cut sit on the token-exact boundary rework,
+    # anchor_text_topk on the unfiltered-totals + salted-window change,
+    # robots_filter on the IPv6 bracket strip, c4_line_filter on the column-
+    # alias fix, weighted_sssp on the NaN-weight guard, and text_chunking on
+    # the chunk_text token-model refactor — all changed, all graded fresh;
+    # then the 39 queries displaced in r6 (newest row r05 — the oldest in
+    # the registry) rotate back in; the last slot is the flagship. The 42
+    # displaced past the cutoff ALL hold all-green r06 rows (one round old)
+    # and rotate back in r8.
     return {
-        # -- new this round --
+        # -- new this round (r7) --
         "scc": q_scc,
         "text_chunking_bpe": q_text_chunking_bpe,
         "crawl_discovery": q_crawl_discovery,
-        "weighted_sssp": q_weighted_sssp,
-        "closeness_centrality": q_closeness_centrality,
-        "dsir_select": q_dsir_select,
-        "c4_line_filter": q_c4_line_filter,
+        # -- changed this round: token-exact substring boundaries --
+        "exact_substring_dedup": q_exact_substring_dedup,
+        "substring_cut": q_substring_cut,
+        # -- changed this round: r6 ADVICE + watch-item fixes --
         "anchor_text_topk": q_anchor_text_topk,
         "robots_filter": q_robots_filter,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "betweenness_centrality": q_betweenness_centrality,
-        "sitemap_parse": q_sitemap_parse,
-        # -- changed this round (norm_tokens empty-document guard) --
+        "c4_line_filter": q_c4_line_filter,
+        "weighted_sssp": q_weighted_sssp,
+        # -- changed this round: chunk_text token-model refactor --
         "text_chunking": q_text_chunking,
-        "substring_cut": q_substring_cut,
-        "repetition_signals": q_repetition_signals,
-        "exact_substring_dedup": q_exact_substring_dedup,
-        # -- newest driver row is r04 (displaced by the r5 window) --
-        "triangle_counts": q_triangle_counts,
-        "pii_redaction": q_pii_redaction,
-        "host_profile": q_host_profile,
-        "snapshot_diff": q_snapshot_diff,
-        "url_canonical_dedup": q_url_canonical_dedup,
-        "dictionary_mention_topk": q_dictionary_mention_topk,
-        "label_abundance": q_label_abundance,
-        "label_abundance_two_groups": q_label_abundance_two_groups,
-        "label_abundance_jump": q_label_abundance_jump,
-        "topk_articles_per_entity": q_topk_articles_per_entity,
-        "top_articles_citations": q_top_articles_citations,
-        "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
-        "revenue_rollup": q_revenue_rollup,
-        "asof_join": q_asof_join,
-        "distinct_counts": q_distinct_counts,
-        "pivot_returnflag": q_pivot_returnflag,
-        "top_entities": q_top_entities,
-        "salted_top_entities": q_salted_top_entities,
-        "degree_count_topk": q_degree_count_topk,
-        "search_topk": q_search_topk,
-        "ledger_anti_join": q_ledger_anti_join,
-        "attr_exists_filter": q_attr_exists_filter,
-        "age_normalized_metric": q_age_normalized_metric,
-        "relevance_filter": q_relevance_filter,
-        "keyword_tagging": q_keyword_tagging,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
-        "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash_dedup": q_simhash_dedup,
-        # -- r05-green fill: tokenizer consumers, scale-stress + ANN
-        # -- subjects, the flagship, the new operator's BFS sibling --
-        "decontamination": q_decontamination,
-        "kg_construct_triples": q_kg_construct_triples,
-        "bfs_distances": q_bfs_distances,
-        "kg_pagerank": q_kg_pagerank,
-        "connected_components": q_connected_components,
-        "semdedup": q_semdedup,
-        "embedding_ivf_topk": q_embedding_ivf_topk,
-        # ---- 50-entry graded cutoff: everything below holds an
-        # ---- all-green r05 driver row and rotates back in r7
+        # -- newest driver row is r05 (displaced by the r6 window) --
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "warc_roundtrip": q_warc_roundtrip,
         "embedding_topk_cosine": q_embedding_topk_cosine,
@@ -2243,6 +2197,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
+        # -- fill: the flagship stays under grade every round --
+        "kg_construct_triples": q_kg_construct_triples,
+        # ---- 50-entry graded cutoff: everything below holds an
+        # ---- all-green r06 driver row and rotates back in r8
+        "closeness_centrality": q_closeness_centrality,
+        "dsir_select": q_dsir_select,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "betweenness_centrality": q_betweenness_centrality,
+        "sitemap_parse": q_sitemap_parse,
+        "repetition_signals": q_repetition_signals,
+        "triangle_counts": q_triangle_counts,
+        "pii_redaction": q_pii_redaction,
+        "host_profile": q_host_profile,
+        "snapshot_diff": q_snapshot_diff,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "dictionary_mention_topk": q_dictionary_mention_topk,
+        "label_abundance": q_label_abundance,
+        "label_abundance_two_groups": q_label_abundance_two_groups,
+        "label_abundance_jump": q_label_abundance_jump,
+        "topk_articles_per_entity": q_topk_articles_per_entity,
+        "top_articles_citations": q_top_articles_citations,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "revenue_rollup": q_revenue_rollup,
+        "asof_join": q_asof_join,
+        "distinct_counts": q_distinct_counts,
+        "pivot_returnflag": q_pivot_returnflag,
+        "top_entities": q_top_entities,
+        "salted_top_entities": q_salted_top_entities,
+        "degree_count_topk": q_degree_count_topk,
+        "search_topk": q_search_topk,
+        "ledger_anti_join": q_ledger_anti_join,
+        "attr_exists_filter": q_attr_exists_filter,
+        "age_normalized_metric": q_age_normalized_metric,
+        "relevance_filter": q_relevance_filter,
+        "keyword_tagging": q_keyword_tagging,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "decontamination": q_decontamination,
+        "bfs_distances": q_bfs_distances,
+        "kg_pagerank": q_kg_pagerank,
+        "connected_components": q_connected_components,
+        "semdedup": q_semdedup,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
     }
 
 
