@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 END_OF_WORD = "▁"  # sentencepiece-style marker
 
@@ -129,32 +130,18 @@ def bpe_tokenize(
     merges: list[tuple[str, str]],
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens) — batched Arrow application
-    of the learned merges (broadcast via closure; merges are KBs)."""
-    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    of the learned merges to raw text. Splits with the SAME canonical
+    ``norm_tokens`` class that :func:`word_frequencies` trains on (a
+    Python ``str.split`` here would see a different word stream than
+    the learner on NBSP/exotic-whitespace text — the r6/r7
+    tokenizer-drift class) and delegates the encode to
+    :func:`encode_token_arrays`, one shared loop."""
+    from .textquality import norm_tokens
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cache: dict[str, list[str]] = {}
-        for pdf in batches:
-            ids, toks, counts = [], [], []
-            for i, t in zip(pdf["id"], pdf["t"]):
-                out: list[str] = []
-                for w in (t or "").lower().split():
-                    enc = cache.get(w)
-                    if enc is None:
-                        enc = encode_word(w, ranks)
-                        cache[w] = enc
-                    out.extend(enc)
-                ids.append(i)
-                toks.append(out)
-                counts.append(len(out))
-            yield pd.DataFrame(
-                {"id": ids, "tokens": toks, "n_tokens": counts}
-            )
-
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-    return src.mapInPandas(
-        run, schema="id long, tokens array<string>, n_tokens int"
+    words = df.select(
+        F.col(id_col).alias("id"), norm_tokens(F.col(text_col)).alias("_w")
     )
+    return encode_token_arrays(words, "id", "_w", merges)
 
 
 # The committed merge table (v1): learned once with
@@ -198,6 +185,9 @@ def encode_token_arrays(
     word splitter and the token counter (the r6 tokenizer-drift
     lesson). Merges ship broadcast via closure (KBs); per-batch word
     cache amortizes the encode — real corpora repeat words heavily.
+    The id column keeps the CALLER's type (url-keyed string corpora
+    work the same as integer-keyed ones — the output schema echoes
+    the input field instead of pinning ``long``).
     """
     ranks = {tuple(p): i for i, p in enumerate(merges)}
 
@@ -208,6 +198,10 @@ def encode_token_arrays(
             for i, ws in zip(pdf["id"], pdf["w"]):
                 out: list[str] = []
                 for w in (ws if ws is not None else []):
+                    if w is None:
+                        # norm_tokens never emits null elements, but a
+                        # generic caller's array might — skip, don't crash
+                        continue
                     enc = cache.get(w)
                     if enc is None:
                         enc = encode_word(w, ranks)
@@ -221,6 +215,11 @@ def encode_token_arrays(
             )
 
     src = df.select(F.col(id_col).alias("id"), F.col(words_col).alias("w"))
-    return src.mapInPandas(
-        run, schema="id long, tokens array<string>, n_tokens int"
+    out_schema = T.StructType(
+        [
+            T.StructField("id", src.schema["id"].dataType),
+            T.StructField("tokens", T.ArrayType(T.StringType())),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
     )
+    return src.mapInPandas(run, schema=out_schema)

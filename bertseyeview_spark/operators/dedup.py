@@ -781,6 +781,7 @@ def exact_substring_spans(
     min_count: int = 2,
     exact: bool = True,
     pair_budget: int = 50_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Find maximal token spans that repeat across (or within)
     documents — the exact-substring family of the "Deduplicating
@@ -858,7 +859,8 @@ def exact_substring_spans(
     from pyspark.sql import Window
 
     runs = _pair_runs(
-        df, id_col, text_col, window, min_count, pair_budget
+        df, id_col, text_col, window, min_count, pair_budget,
+        materialize=materialize,
     ).select("id", "start", "end").dropDuplicates()
     # containment prune: a preceding row in (start asc, end desc)
     # order has start' <= start (start' == start only with end' > end),
@@ -888,6 +890,7 @@ def _pair_runs(
     window: int,
     min_count: int,
     pair_budget: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """One row per SIDE of each maximal pairwise-aligned duplicated
     token run: (id, start, end, key1, key2, run_len) where
@@ -916,18 +919,30 @@ def _pair_runs(
         F.xxhash64("_s", F.lit(1)).alias("fp1"),
         F.xxhash64("_s", F.lit(2)).alias("fp2"),
     )
+    if materialize:
+        # probe + occ join both consume wins: ONE cached corpus scan
+        # instead of two (r7 review); materialize=False (plan dumps)
+        # skips the cache AND the inherently-eager budget probe
+        wins = wins.persist()
     counts = wins.groupBy("fp1", "fp2").agg(F.count("*").alias("_n"))
     hot = counts.where(F.col("_n") >= min_count)
-    # pair-volume probe BEFORE the quadratic join (see docstring)
-    est = hot.agg(
-        F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("pairs")
-    ).collect()[0]["pairs"]
-    if est is not None and est > pair_budget:
-        raise ValueError(
-            f"exact substring pair join would materialize ~{int(est)} "
-            f"occurrence pairs (> pair_budget={pair_budget}); raise "
-            "min_count, pre-clean boilerplate, or use exact=False"
-        )
+    if materialize:
+        hot = hot.persist()
+        # pair-volume probe BEFORE the quadratic join (see docstring);
+        # inherently eager — the validation must run before the join
+        # is even planned. The persist above makes the probe PAY FOR
+        # the scan the join then reuses, instead of doubling it.
+        est = hot.agg(
+            F.sum(F.col("_n") * (F.col("_n") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+        if est is not None and est > pair_budget:
+            wins.unpersist(blocking=True)
+            hot.unpersist(blocking=True)
+            raise ValueError(
+                f"exact substring pair join would materialize ~{int(est)} "
+                f"occurrence pairs (> pair_budget={pair_budget}); raise "
+                "min_count, pre-clean boilerplate, or use exact=False"
+            )
     occ = wins.join(hot.select("fp1", "fp2"), ["fp1", "fp2"])
     a = occ.select(
         F.col("fp1"), F.col("fp2"),
@@ -991,7 +1006,12 @@ def _pair_runs(
         (F.col("_a1") - F.col("_diag") + window - 1).alias("end"),
         *keys,
     )
-    return side_a.unionByName(side_b)
+    out = side_a.unionByName(side_b)
+    if not materialize:
+        return out
+    # run rows are small (one per duplicated-run side); checkpoint
+    # them and release the window cache — the _finalize discipline
+    return _finalize(out, wins, hot)
 
 
 def _flagged_windows(
@@ -1075,6 +1095,7 @@ def cut_repeated_spans(
     min_count: int = 2,
     exact: bool = True,
     pair_budget: int = 50_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """The REMOVAL stage completing the exact-substring recipe: every
     repeated ``window``-token occurrence is cut from the corpus except
@@ -1125,7 +1146,8 @@ def cut_repeated_spans(
 
     if exact:
         occ = _pair_runs(
-            df, id_col, text_col, window, min_count, pair_budget
+            df, id_col, text_col, window, min_count, pair_budget,
+            materialize=materialize,
         ).dropDuplicates(["id", "start", "end"])
         # canonical occurrence per run CONTENT = min (id, start); the
         # per-content partition is bounded by the duplication degree

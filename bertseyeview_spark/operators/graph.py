@@ -748,7 +748,13 @@ def betweenness_centrality(
 
     Distributed shape: per hop/level ONE equi-join + one grouped sum,
     state keyed (source, vertex) — |sample| x |reach| like closeness;
-    localCheckpoint every 3 levels flattens the looped lineage.
+    localCheckpoint every 3 levels flattens the looped lineage. The
+    backward pass accretes one left join per depth level onto that
+    state, so the SAMPLE SIZE is the budget knob on both phases:
+    measured on a 50k-vertex graph (BENCH/centrality_stress_r7.json),
+    wall stays flat from |sample|=8 to 128 (state rows 13.5x) with
+    zero spill — the knob buys reach coverage at ~zero wall cost until
+    |sample| x |reach| approaches corpus scale.
     """
     e = edges.select("src", "dst").where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
@@ -864,9 +870,18 @@ def strongly_connected_components(
     SCC (pytest cross-checks against Tarjan on random digraphs). A
     count probe exits early once the live set drains — the common
     case after 1-2 peels — without changing the result (further
-    peels are no-ops on an empty set). Vertices still unassigned
-    when the caps run out are returned with scc_id NULL — honestly
-    undecided, never a wrong singleton.
+    peels are no-ops on an empty set).
+
+    The caps are SELF-CERTIFYING budgets: each peel's assignments are
+    used only if BOTH phases provably converged under ``max_prop`` —
+    one extra relaxation probe shows no color improvement, and the
+    final backward frontier is empty. A starved cap would otherwise
+    assign confidently WRONG components (a cycle longer than the cap
+    gets its root peeled as a singleton; a partially-collected SCC
+    leaves its far members to re-color among themselves), so on the
+    first non-converged peel the operator STOPS assigning and every
+    still-live vertex returns scc_id NULL — honestly undecided,
+    never wrong.
 
     Returns (id, scc_id) for every vertex, scc_id = the component's
     minimum vertex id (NULL if undecided under the caps).
@@ -922,6 +937,21 @@ def strongly_connected_components(
             if r % 3 == 0:
                 color = color.localCheckpoint(eager=True)
         color = color.localCheckpoint(eager=True)
+        # convergence certificate #1: one extra relaxation must find
+        # NO improvable color, else the coloring is not the true
+        # min-ancestor labeling and roots cannot be trusted (a cycle
+        # longer than the cap would peel its root as a WRONG
+        # singleton) — stop assigning, leave the rest NULL
+        improvable = (
+            color.select(F.col("id").alias("_cid"), "color")
+            .join(e, F.col("_cid") == F.col("src"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("color").alias("_in_min"))
+            .join(color, "id")
+            .where(F.col("_in_min") < F.col("color"))
+        )
+        if improvable.limit(1).count() > 0:
+            break
         # 2. backward BFS from the roots inside each color class:
         # member(v) = r certifies the mutual reachability
         roots = color.where(F.col("color") == F.col("id")).select(
@@ -950,13 +980,18 @@ def strongly_connected_components(
                 member = member.localCheckpoint(eager=True)
                 frontier = frontier.localCheckpoint(eager=True)
         member = member.localCheckpoint(eager=True)
+        # convergence certificate #2: the final backward frontier must
+        # be EMPTY, else SCC(r) may be only partially collected (its
+        # far members would re-color among themselves next peel into
+        # wrong separate components) — stop assigning instead
+        if frontier.limit(1).count() > 0:
+            break
         # 3. peel: assigned vertices leave the live set
         assigned = (
             member if assigned is None else assigned.unionByName(member)
         )
         live = live.join(member.select("id"), "id", "left_anti")
         live = live.localCheckpoint(eager=True)
-    out = verts
     if assigned is not None:
         out = verts.join(assigned, "id", "left")
     else:

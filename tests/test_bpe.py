@@ -165,3 +165,42 @@ def test_pack_sequences_bpe_token_model(spark):
         want[i] = (n, offset // 12, offset)
         offset += n
     assert got == want
+
+
+def test_chunk_text_bpe_string_ids(spark):
+    """The encoder echoes the caller's id type (r7 review): url-keyed
+    corpora must work identically under both token models."""
+    from bertseyeview_spark.operators.bpe import BPE_MERGES_V1
+    from bertseyeview_spark.operators.textquality import chunk_text
+
+    df = spark.createDataFrame(
+        [("https://a/1", "power slow join merge batch"),
+         ("https://a/2", "customer vector")],
+        "id string, text string",
+    )
+    rows = chunk_text(
+        df, "id", "text", size=6, overlap=2,
+        token_model="bpe", merges=BPE_MERGES_V1,
+    ).collect()
+    assert {r["id"] for r in rows} == {"https://a/1", "https://a/2"}
+    assert all(isinstance(r["id"], str) for r in rows)
+
+
+def test_bpe_tokenize_matches_norm_tokens_split(spark):
+    """bpe_tokenize splits with the SAME class the learner trains on
+    (r7 review): an NBSP is NOT a separator on either side now."""
+    from bertseyeview_spark.operators.bpe import (
+        BPE_MERGES_V1,
+        bpe_tokenize,
+        encode_word,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_MERGES_V1)}
+    df = spark.createDataFrame(
+        [(1, "foo bar baz"), (2, "\tSLOW  join\r\n")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["tokens"] for r in bpe_tokenize(df, "id", "text", BPE_MERGES_V1).collect()}
+    # norm_tokens: NBSP stays inside one word; tabs/CRLF are edges
+    assert got[1] == encode_word("foo bar", ranks) + encode_word("baz", ranks)
+    assert got[2] == encode_word("slow", ranks) + encode_word("join", ranks)

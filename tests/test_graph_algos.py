@@ -650,3 +650,32 @@ def test_scc_insufficient_caps_returns_null_not_wrong(spark):
     assert got[0] == 0 and got[1] == 0
     assert got[2] == 2 and got[3] == 2
     assert got[6] is None and got[7] is None
+
+
+def test_scc_starved_prop_cap_returns_null_not_wrong(spark):
+    """A 12-cycle under max_prop=10: the coloring cannot converge
+    (vertex 0 needs 11 hops to color vertex 11), and an uncertified
+    peel would return vertex 0 as a WRONG singleton SCC. The
+    convergence certificate must refuse to assign: every vertex NULL."""
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            df, max_peels=3, max_prop=10
+        ).collect()
+    }
+    assert set(got) == set(range(12))
+    assert all(v is None for v in got.values())
+    # and with a sufficient cap the same cycle resolves exactly
+    got2 = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            df, max_peels=1, max_prop=12
+        ).collect()
+    }
+    assert got2 == {i: 0 for i in range(12)}

@@ -90,7 +90,26 @@ def _plan_only_overrides():
             threshold=0.8, materialize=False,
         )
 
-    return {"ngram_jaccard_dedup": ngram, "minhash_lsh_dedup": minhash}
+    def substr_spans(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return D.exact_substring_spans(
+            docs, "doc_id", "text", window=8, min_count=2,
+            materialize=False,
+        )
+
+    def substr_cut(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return D.cut_repeated_spans(
+            docs, "doc_id", "text", window=8, min_count=2,
+            materialize=False,
+        )
+
+    return {
+        "ngram_jaccard_dedup": ngram,
+        "minhash_lsh_dedup": minhash,
+        "exact_substring_dedup": substr_spans,
+        "substring_cut": substr_cut,
+    }
 
 
 def main() -> None:
