@@ -2078,6 +2078,51 @@ def q_crawl_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie classification over a planted web-shaped graph:
+    CORE = a 20-vertex cycle+chord SCC on ids 100-119 (the smallest
+    ids with in-edges, so its min is a round-1 root), OUT = ids 0-99
+    fed from the core, IN = ids 200-299 feeding the core, plus
+    IN-hung tendrils (150-169) and disconnected 2-cycles (170-189)
+    that must classify 'other'. Like q_scc the plant peels in ONE
+    ColorSCC round by construction (every SCC's min has no smaller-id
+    ancestor), so the oracle replays one peel, picks the largest
+    component, and re-derives both capped reach sets as recursive
+    CTEs."""
+    from bertseyeview_spark.operators.graph import bowtie_classification
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    core_docs = docs.where((d >= 100) & (d < 120))
+    cyc = core_docs.select(
+        d.alias("src"), (100 + (d - 100 + 1) % 20).alias("dst")
+    )
+    chord = core_docs.select(
+        d.alias("src"), (100 + (d - 100 + 5) % 20).alias("dst")
+    )
+    out_e = docs.where(d < 100).select(
+        (100 + d % 20).alias("src"), d.alias("dst")
+    )
+    in_e = docs.where((d >= 200) & (d < 300)).select(
+        d.alias("src"), (100 + d % 20).alias("dst")
+    )
+    tendril = docs.where((d >= 200) & (d < 220)).select(
+        d.alias("src"), (d - 50).alias("dst")
+    )
+    twoc = docs.where((d >= 170) & (d < 190)).select(
+        d.alias("src"),
+        F.when(d % 2 == 0, d + 1).otherwise(d - 1).alias("dst"),
+    )
+    edges = (
+        cyc.unionByName(chord).unionByName(out_e).unionByName(in_e)
+        .unionByName(tendril).unionByName(twoc)
+    )
+    out = bowtie_classification(
+        edges, max_peels=2, max_prop=10, max_hops=6
+    )
+    return out.select(F.col("id").cast("long").alias("id"), "cls")
+
+
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strongly connected components (gds.scc analogue, ColorSCC
     peeling) over a deterministic block graph on the 500 doc_ids:
@@ -2145,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new this round (r7) --
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "text_chunking_bpe": q_text_chunking_bpe,
         "crawl_discovery": q_crawl_discovery,
         # -- changed this round: token-exact substring boundaries --
@@ -2197,10 +2243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bm25_search": q_bm25_search,
         "corpus_clean": q_corpus_clean,
-        # -- fill: the flagship stays under grade every round --
-        "kg_construct_triples": q_kg_construct_triples,
         # ---- 50-entry graded cutoff: everything below holds an
-        # ---- all-green r06 driver row and rotates back in r8
+        # ---- all-green r06 driver row and rotates back in r8 (the
+        # ---- flagship yielded the former fill slot to the fourth
+        # ---- new query, bowtie — it stays covered every round by
+        # ---- entry(), bench.py, and the spark-submit verify drive)
+        "kg_construct_triples": q_kg_construct_triples,
         "closeness_centrality": q_closeness_centrality,
         "dsir_select": q_dsir_select,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -4437,6 +4485,80 @@ FROM urls u
 LEFT JOIN best b ON b.url = u.url
 LEFT JOIN topa ON topa.dst = u.url
 LEFT JOIN tot ON tot.dst = u.url
+""",
+        # bowtie: one ColorSCC peel (the q_scc discipline — every
+        # SCC's min is a round-1 root by construction), largest
+        # component by (count desc, id asc), then both capped reach
+        # sets as recursive CTEs; classification is reach-based
+        # exactly like the operator (both -> core, fwd -> out,
+        # bwd -> in, else other)
+        "bowtie": """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, 100 + (doc_id - 100 + 1) % 20 AS dst
+    FROM documents WHERE doc_id >= 100 AND doc_id < 120
+    UNION ALL
+    SELECT doc_id, 100 + (doc_id - 100 + 5) % 20
+    FROM documents WHERE doc_id >= 100 AND doc_id < 120
+    UNION ALL
+    SELECT 100 + doc_id % 20, doc_id FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, 100 + doc_id % 20
+    FROM documents WHERE doc_id >= 200 AND doc_id < 300
+    UNION ALL
+    SELECT doc_id, doc_id - 50
+    FROM documents WHERE doc_id >= 200 AND doc_id < 220
+    UNION ALL
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 1 END
+    FROM documents WHERE doc_id >= 170 AND doc_id < 190
+  ) raw
+),
+verts AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM e UNION ALL SELECT dst FROM e
+  ) u
+),
+anc(v, a, d) AS (
+  SELECT v, v, 0 FROM verts
+  UNION
+  SELECT e.dst, anc.a, anc.d + 1 FROM anc JOIN e ON e.src = anc.v
+  WHERE anc.d < 10
+),
+color AS (SELECT v, min(a) AS c FROM anc GROUP BY v),
+roots AS (SELECT v FROM color WHERE c = v),
+m(v, r, d) AS (
+  SELECT v, v, 0 FROM roots
+  UNION
+  SELECT e.src, m.r, m.d + 1
+  FROM m JOIN e ON e.dst = m.v
+  JOIN color cs ON cs.v = e.src AND cs.c = m.r
+  WHERE m.d < 10
+),
+assigned AS (SELECT DISTINCT v, r FROM m),
+sizes AS (SELECT r, count(*) AS c FROM assigned GROUP BY r),
+core AS (SELECT r FROM sizes ORDER BY c DESC, r ASC LIMIT 1),
+corev AS (SELECT v FROM assigned WHERE r IN (SELECT r FROM core)),
+fw(v, d) AS (
+  SELECT v, 0 FROM corev
+  UNION
+  SELECT e.dst, fw.d + 1 FROM fw JOIN e ON e.src = fw.v WHERE fw.d < 6
+),
+bw(v, d) AS (
+  SELECT v, 0 FROM corev
+  UNION
+  SELECT e.src, bw.d + 1 FROM bw JOIN e ON e.dst = bw.v WHERE bw.d < 6
+),
+fwd AS (SELECT DISTINCT v FROM fw),
+bwd AS (SELECT DISTINCT v FROM bw)
+SELECT verts.v::BIGINT AS id,
+  CASE WHEN fwd.v IS NOT NULL AND bwd.v IS NOT NULL THEN 'core'
+       WHEN fwd.v IS NOT NULL THEN 'out'
+       WHEN bwd.v IS NOT NULL THEN 'in'
+       ELSE 'other' END AS cls
+FROM verts
+LEFT JOIN fwd ON fwd.v = verts.v
+LEFT JOIN bwd ON bwd.v = verts.v
 """,
         # scc: the plant peels in ONE round by construction (downward-
         # only bridges -> every SCC min is a round-1 root), so the

@@ -679,3 +679,98 @@ def test_scc_starved_prop_cap_returns_null_not_wrong(spark):
         ).collect()
     }
     assert got2 == {i: 0 for i in range(12)}
+
+
+def _py_bowtie(edges, max_hops=6):
+    comp = _py_tarjan(edges)
+    sizes = {}
+    for v, r in comp.items():
+        sizes[r] = sizes.get(r, 0) + 1
+    core_id = min(
+        (r for r in sizes), key=lambda r: (-sizes[r], r)
+    )
+    core = {v for v, r in comp.items() if r == core_id}
+    fadj, badj = {}, {}
+    for a, b in edges:
+        fadj.setdefault(a, []).append(b)
+        badj.setdefault(b, []).append(a)
+
+    def reach(seed, adj):
+        seen = set(seed)
+        frontier = set(seed)
+        for _ in range(max_hops):
+            nxt = {
+                w for v in frontier for w in adj.get(v, []) if w not in seen
+            }
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    fwd, bwd = reach(core, fadj), reach(core, badj)
+    out = {}
+    for v in comp:
+        if v in fwd and v in bwd:
+            out[v] = "core"
+        elif v in fwd:
+            out[v] = "out"
+        elif v in bwd:
+            out[v] = "in"
+        else:
+            out[v] = "other"
+    return out
+
+
+def test_bowtie_hand_graph(spark):
+    """Textbook bow-tie: a 3-cycle core, IN chain, OUT chain, a
+    tendril off IN, and a disconnected 2-cycle."""
+    from bertseyeview_spark.operators.graph import bowtie_classification
+
+    edges = [
+        # core 3-cycle {1,2,3}
+        (1, 2), (2, 3), (3, 1),
+        # IN: 10 -> 11 -> core
+        (10, 11), (11, 1),
+        # OUT: core -> 20 -> 21
+        (3, 20), (20, 21),
+        # tendril off IN (reaches neither direction of the core)
+        (10, 30),
+        # disconnected 2-cycle
+        (40, 41), (41, 40),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["cls"]
+        for r in bowtie_classification(
+            df, max_peels=4, max_prop=10, max_hops=6
+        ).collect()
+    }
+    assert got == {
+        1: "core", 2: "core", 3: "core",
+        10: "in", 11: "in",
+        20: "out", 21: "out",
+        30: "other", 40: "other", 41: "other",
+    }
+    assert got == _py_bowtie(edges)
+
+
+def test_bowtie_vs_python_random_digraphs(spark):
+    from bertseyeview_spark.operators.graph import bowtie_classification
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        n = 14
+        nodes = list(range(n))
+        edges = set()
+        while len(edges) < 24:
+            a, b = rng.sample(nodes, 2)
+            edges.add((a, b))
+        edges = sorted(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["id"]: r["cls"]
+            for r in bowtie_classification(
+                df, max_peels=n, max_prop=n, max_hops=n
+            ).collect()
+        }
+        assert got == _py_bowtie(edges, max_hops=n), seed
