@@ -405,3 +405,92 @@ def parse_sitemaps(
             "priority"
         ),
     ).where(F.col("loc") != "")
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness fetch scheduler — turn a URL frontier plus per-host
+    ``Crawl-delay`` budgets (:func:`crawl_delays` output: (host,
+    crawl_delay)) into per-host fetch slots: the k-th URL of a host
+    fetches no earlier than ``k * delay`` seconds into the crawl
+    window. This is the scheduling leg every polite crawler runs
+    between discovery (:mod:`..plans.crawl_discovery`) and fetching.
+
+    Per host, URLs order by (priority desc, url asc) — a total order,
+    deterministic under any partitioning; ``priority_col`` is the
+    caller's ranking signal (PageRank, OPIC credit, sitemap
+    priority...), absent = url-ordered. Hosts without a delay row get
+    ``default_delay``. Returns
+    (url, host, slot, delay_sec, fetch_at_sec) with slot 0-based and
+    ``fetch_at_sec = slot * delay_sec`` (exact IEEE product of an int
+    and the delay — bit-replayable).
+
+    Per-host slot assignment is INHERENTLY sequential — politeness IS
+    per-host serialization — so the per-host window is the semantic
+    requirement, not an accident. The scale hazard is a mega-host
+    sorting millions of frontier rows in one window partition:
+    ``max_per_host`` is the budget knob — an EXACT two-phase top-k
+    (the anchor_text_topk salting discipline: priorities are caller-
+    final before bucketing, so each salt bucket's local top-k
+    provably contains every global top-k member) prunes the frontier
+    before the slot window, which then sorts <= 16*max_per_host rows
+    per host. At 10^12 URLs you always set it: no crawl window is
+    long enough for an unbounded per-host queue anyway.
+
+    Host extraction matches :func:`robots_filter` exactly (lowercase,
+    userinfo/port/IPv6-bracket strip) — the two operators MUST agree
+    on the join key or a host's gate and its budget would diverge.
+    """
+    u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^.*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    host = F.regexp_replace(host, r"^\[|\]$", "")
+    prio = (
+        F.col(priority_col) if priority_col else F.lit(0)
+    )
+    base = urls.select(
+        u.alias("url"), host.alias("host"), prio.alias("_prio")
+    )
+    order = (F.desc("_prio"), F.asc("url"))
+    if max_per_host is not None:
+        if max_per_host < 1:
+            raise ValueError("max_per_host must be >= 1")
+        n_salts = 16
+        w_local = Window.partitionBy("host", "_salt").orderBy(*order)
+        base = (
+            base.withColumn(
+                "_salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+            )
+            .withColumn("_lr", F.row_number().over(w_local))
+            .where(F.col("_lr") <= max_per_host)
+            .drop("_salt", "_lr")
+        )
+    w = Window.partitionBy("host").orderBy(*order)
+    ranked = base.withColumn("slot", F.row_number().over(w) - 1)
+    if max_per_host is not None:
+        ranked = ranked.where(F.col("slot") < max_per_host)
+    d = delays.select(
+        F.col("host"), F.col("crawl_delay").cast("double").alias("_d")
+    )
+    return (
+        ranked.join(d, "host", "left")
+        .select(
+            "url",
+            "host",
+            F.col("slot").cast("int").alias("slot"),
+            F.coalesce("_d", F.lit(float(default_delay))).alias("delay_sec"),
+            (
+                F.col("slot")
+                * F.coalesce("_d", F.lit(float(default_delay)))
+            ).alias("fetch_at_sec"),
+        )
+    )

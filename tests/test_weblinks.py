@@ -364,3 +364,87 @@ def test_crawl_discovery_composition(spark):
     # robots rules is allowed
     f = rows["https://other.example/free"]
     assert f["allowed"] and f["matched_rule"] is None
+
+
+def test_fetch_schedule_hand_walked(spark):
+    """Slots follow (priority desc, url asc) per host; delays join on
+    the robots_filter host key (messy spellings canonicalize); hosts
+    without a delay row get the default; max_per_host prunes exactly."""
+    from bertseyeview_spark.operators.weblinks import fetch_schedule
+
+    urls = spark.createDataFrame(
+        [
+            # messy spellings of host a.example (case, port, userinfo)
+            ("HTTPS://A.Example:443/x", 5),
+            ("https://bot@a.example/y", 9),
+            ("https://a.example/z", 9),   # ties with /y -> url asc
+            ("https://a.example/w", 1),   # pruned at max_per_host=3
+            ("https://b.example/only", 7),
+        ],
+        "url string, priority int",
+    )
+    delays = spark.createDataFrame(
+        [("a.example", 2.5)], "host string, crawl_delay double"
+    )
+    rows = {
+        r["url"]: r
+        for r in fetch_schedule(
+            urls, delays, priority_col="priority",
+            default_delay=1.0, max_per_host=3,
+        ).collect()
+    }
+    # pruned: /w (lowest priority beyond the top-3)
+    assert set(rows) == {
+        "HTTPS://A.Example:443/x", "https://bot@a.example/y",
+        "https://a.example/z", "https://b.example/only",
+    }
+    # order on a.example: the 9-priority tie breaks on the RAW url
+    # string ('https://a.example/z' < 'https://bot@a.example/y'),
+    # then /x (priority 5)
+    assert rows["https://a.example/z"]["slot"] == 0
+    assert rows["https://bot@a.example/y"]["slot"] == 1
+    assert rows["HTTPS://A.Example:443/x"]["slot"] == 2
+    assert rows["HTTPS://A.Example:443/x"]["fetch_at_sec"] == 2 * 2.5
+    assert rows["https://a.example/z"]["delay_sec"] == 2.5
+    # host without a delay row -> default
+    b = rows["https://b.example/only"]
+    assert (b["slot"], b["delay_sec"], b["fetch_at_sec"]) == (0, 1.0, 0.0)
+
+
+def test_fetch_schedule_salted_prune_is_exact(spark):
+    """The two-phase salted top-k prune equals the plain window on a
+    skewed host (one host with many URLs, adversarial priorities)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bertseyeview_spark.operators.weblinks import fetch_schedule
+
+    n = 200
+    urls = spark.createDataFrame(
+        [(f"https://hub.example/p/{i:04d}", (i * 37) % 50) for i in range(n)]
+        + [(f"https://tiny.example/{i}", i) for i in range(3)],
+        "url string, priority int",
+    )
+    delays = spark.createDataFrame(
+        [("hub.example", 3.0)], "host string, crawl_delay double"
+    )
+    got = sorted(
+        (r["host"], r["slot"], r["url"], r["fetch_at_sec"])
+        for r in fetch_schedule(
+            urls, delays, priority_col="priority",
+            default_delay=0.5, max_per_host=25,
+        ).collect()
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url"))
+    host = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1
+    )
+    want = sorted(
+        (r["host"], r["rn"] - 1, r["url"],
+         (r["rn"] - 1) * (3.0 if r["host"] == "hub.example" else 0.5))
+        for r in urls.select("url", "priority", host.alias("host"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 25)
+        .collect()
+    )
+    assert got == want

@@ -63,6 +63,7 @@ QUERIES = [
     ("dedup_paragraphs", "CCNet paragraph dedup: posexplode units, ONE grouped min-struct per unit hash (map-side combined, AQE skew split on boilerplate keys), hash equi-join back, ONE per-doc regroup for reassembly; shuffles carry 64-bit hashes + positions"),
     ("betweenness_centrality", "Brandes forward: per hop one frontier-edge equi-join + grouped integer sigma sum; backward: per depth one reversed edge join + grouped dependency sum; state keyed (source, vertex) = |sample| x |reach|, localCheckpoint every 3 levels"),
     ("sitemap_parse", "zero-shuffle per-file map: root-tag kind + entry array materialized once per file, explode carries entry slices (never the xml body), codegen'd per-entry field extraction; no joins, no exchange"),
+    ("fetch_schedule", "frontier prune = exact salted two-phase top-k per host (priorities final before bucketing); slot = one per-host window over <= 16k survivors; delays broadcast left join"),
     ("bowtie", "composition: ColorSCC peel -> 1-row core pick -> two capped frontier-BFS reach passes -> reach-flag classification projection"),
     ("scc", "ColorSCC peel: per prop round ONE color-edge equi-join + grouped min (monotone label relaxation); backward membership = bfs-style frontier joins filtered to the root's color class; state O(V), never reachability sets"),
     ("text_chunking_bpe", "one batched Arrow encode stage (merges broadcast via closure) feeding the same zero-shuffle closed-form chunk grid as text_chunking"),
