@@ -852,6 +852,13 @@ def exact_substring_spans(
     (keeping one canonical occurrence), exactly as the reference
     recipe does — this operator is the detection stage, which is the
     part that needs the cluster.
+
+    ``materialize=False`` is a PLAN-INSPECTION mode (tools/
+    explain_plans.py): it skips the window-table cache, the result
+    checkpoint, AND the (inherently eager) pair-budget validation —
+    the returned frame is fully lazy but UNGUARDED against
+    boilerplate-quadratic pair explosions. Production callers keep
+    the default.
     """
     if not exact:
         flagged = _flagged_windows(df, id_col, text_col, window, min_count)
@@ -1141,6 +1148,10 @@ def cut_repeated_spans(
     array — linear, no corpus-wide state. The HOF runs interpreted,
     but this is the output-materialization stage, not a hot inner
     join; its cost is one pass over the kept tokens.
+    
+    ``materialize=False`` is the same plan-inspection mode as
+    :func:`exact_substring_spans` — lazy, uncached, and WITHOUT the
+    pair-budget validation; production callers keep the default.
     """
     from pyspark.sql import Window
 

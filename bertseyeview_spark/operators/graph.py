@@ -980,12 +980,27 @@ def strongly_connected_components(
                 member = member.localCheckpoint(eager=True)
                 frontier = frontier.localCheckpoint(eager=True)
         member = member.localCheckpoint(eager=True)
-        # convergence certificate #2: the final backward frontier must
-        # be EMPTY, else SCC(r) may be only partially collected (its
-        # far members would re-color among themselves next peel into
-        # wrong separate components) — stop assigning instead
+        # convergence certificate #2: one more expansion of the final
+        # frontier must yield NO new member, else SCC(r) may be only
+        # partially collected (its far members would re-color among
+        # themselves next peel into wrong separate components) — stop
+        # assigning instead. Probing for new members rather than raw
+        # frontier emptiness avoids an off-by-one that would discard a
+        # complete assignment whose last member arrived exactly at
+        # round max_prop (r7 second review)
         if frontier.limit(1).count() > 0:
-            break
+            extra = (
+                frontier.select(F.col("id").alias("_mid"), "scc_id")
+                .join(e, F.col("_mid") == F.col("dst"))
+                .select(F.col("src").alias("id"), "scc_id")
+                .dropDuplicates(["id", "scc_id"])
+                .join(color, "id")
+                .where(F.col("color") == F.col("scc_id"))
+                .select("id", "scc_id")
+                .join(member.select("id"), "id", "left_anti")
+            )
+            if extra.limit(1).count() > 0:
+                break
         # 3. peel: assigned vertices leave the live set
         assigned = (
             member if assigned is None else assigned.unionByName(member)

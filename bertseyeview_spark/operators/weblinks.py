@@ -242,6 +242,20 @@ def crawl_delays(
     )
 
 
+
+def _url_host(u: Column) -> Column:
+    """Host key from a URL column: lowercase, userinfo/port stripped,
+    IPv6 literal brackets removed. SHARED by :func:`robots_filter` and
+    :func:`fetch_schedule` — the gate and the budget must join on the
+    same key, so there is exactly one copy of this extraction (the r7
+    IPv6 fix had to land twice before this helper existed)."""
+    host = F.lower(
+        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = F.regexp_replace(host, r"^.*@", "")
+    host = F.regexp_replace(host, r":\d+$", "")
+    return F.regexp_replace(host, r"^\[|\]$", "")
+
 def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
@@ -271,15 +285,7 @@ def robots_filter(
     broadcast-plans it outright.
     """
     u = F.col(url_col)
-    host = F.lower(
-        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    )
-    host = F.regexp_replace(host, r"^.*@", "")
-    host = F.regexp_replace(host, r":\d+$", "")
-    # IPv6 literals arrive bracketed ('[2001:db8::1]:8080'); after the
-    # port strip the brackets must go too or the host never equi-joins
-    # to rules keyed by the bare address form
-    host = F.regexp_replace(host, r"^\[|\]$", "")
+    host = _url_host(u)
     path_raw = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     base = urls.select(
@@ -443,17 +449,13 @@ def fetch_schedule(
     per host. At 10^12 URLs you always set it: no crawl window is
     long enough for an unbounded per-host queue anyway.
 
-    Host extraction matches :func:`robots_filter` exactly (lowercase,
-    userinfo/port/IPv6-bracket strip) — the two operators MUST agree
-    on the join key or a host's gate and its budget would diverge.
+    Host extraction IS :func:`robots_filter`'s (the shared
+    ``_url_host`` expression) — the two operators agree on the join
+    key by construction, or a host's gate and its budget would
+    diverge.
     """
     u = F.col(url_col)
-    host = F.lower(
-        F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
-    )
-    host = F.regexp_replace(host, r"^.*@", "")
-    host = F.regexp_replace(host, r":\d+$", "")
-    host = F.regexp_replace(host, r"^\[|\]$", "")
+    host = _url_host(u)
     prio = (
         F.col(priority_col) if priority_col else F.lit(0)
     )

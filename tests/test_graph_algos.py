@@ -774,3 +774,23 @@ def test_bowtie_vs_python_random_digraphs(spark):
             ).collect()
         }
         assert got == _py_bowtie(edges, max_hops=n), seed
+
+
+def test_scc_boundary_cap_still_assigns(spark):
+    """Certificate #2 must probe for NEW members, not raw frontier
+    emptiness: a 13-cycle at max_prop=12 collects its last member
+    exactly at round 12 (frontier non-empty), but one more expansion
+    finds nothing new — the complete assignment must be kept."""
+    from bertseyeview_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    edges = [(i, (i + 1) % 13) for i in range(13)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["scc_id"]
+        for r in strongly_connected_components(
+            df, max_peels=1, max_prop=12
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(13)}
