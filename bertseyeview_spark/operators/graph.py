@@ -1050,6 +1050,10 @@ def bowtie_classification(
     scc = strongly_connected_components(
         edges, max_peels=max_peels, max_prop=max_prop
     )
+    # three consumers fan out of the SCC table (sizes agg, core
+    # filter, vertex spine) — checkpoint the V-sized result once so
+    # the peel's final verts-join runs once, not three times
+    scc = scc.localCheckpoint(eager=True)
     sizes = (
         scc.where(F.col("scc_id").isNotNull())
         .groupBy("scc_id")
