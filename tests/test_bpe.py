@@ -204,3 +204,71 @@ def test_bpe_tokenize_matches_norm_tokens_split(spark):
     # norm_tokens: NBSP stays inside one word; tabs/CRLF are edges
     assert got[1] == encode_word("foo bar", ranks) + encode_word("baz", ranks)
     assert got[2] == encode_word("slow", ranks) + encode_word("join", ranks)
+
+
+def test_oracle_replace_replay_equals_greedy_encode_fuzz():
+    """The graded text_chunking_bpe oracle re-derives the encode with
+    a recursive CTE applying one merge rank per step via delimited
+    replace(). This pins the equivalence argument (left-to-right
+    non-overlapping replace-all per rank == the greedy lowest-rank-
+    first encode, because merged symbols only feed later ranks) on
+    adversarial inputs: overlapping same-pair runs ('aaaa'), words
+    built from merge-table fragments, long repeats, and words that
+    CONTAIN the '▁' end-of-word marker char (a mid-word ▁ symbol is a
+    legal symbol both engines must treat identically). Pure
+    python + DuckDB — no Spark session needed."""
+    import random
+
+    import duckdb
+
+    from bertseyeview_spark.operators.bpe import (
+        BPE_MERGES_V1,
+        encode_word,
+    )
+
+    ranks = {tuple(p): i for i, p in enumerate(BPE_MERGES_V1)}
+    rng = random.Random(20260818)
+    alphabet = "abcdefghijlmnoprstuvwy"
+    words = [
+        "aaaa", "aaaaaaa", "abab", "ababab", "erer", "ererer",
+        "power", "slowslow", "joinjoin", "customercustomer",
+        "a▁b", "▁▁", "er▁er", "x", "",
+    ]
+    for _ in range(60):
+        n = rng.randint(1, 14)
+        words.append("".join(rng.choice(alphabet) for _ in range(n)))
+    for _ in range(20):
+        # fragments of merge outputs, concatenated — maximizes merge
+        # collisions and rank interleavings
+        parts = rng.sample([a + b for a, b in BPE_MERGES_V1], 3)
+        words.append("".join(p.replace("▁", "") for p in parts))
+    words = sorted(set(w for w in words if w))
+
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES_V1)
+    )
+    wvals = ", ".join(f"('{w}')" for w in words)
+    q = f"""
+WITH RECURSIVE mg(rk, a, b) AS (VALUES {vals}),
+dw(word) AS (VALUES {wvals}),
+enc(word, seq, step) AS (
+  SELECT word,
+         chr(1) || array_to_string(string_split(word, ''), chr(2) || chr(1))
+           || chr(2) || chr(1) || '▁' || chr(2),
+         0
+  FROM dw
+  UNION ALL
+  SELECT e.word,
+         replace(e.seq, chr(1) || m.a || chr(2) || chr(1) || m.b || chr(2),
+                 chr(1) || m.a || m.b || chr(2)),
+         e.step + 1
+  FROM enc e JOIN mg m ON m.rk = e.step
+)
+SELECT word,
+       string_split(trim(seq, chr(1) || chr(2)), chr(2) || chr(1)) AS toks
+FROM enc WHERE step = {len(BPE_MERGES_V1)}
+"""
+    got = {w: list(t) for w, t in duckdb.sql(q).fetchall()}
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w] == encode_word(w, ranks), w
