@@ -27,12 +27,13 @@ from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _stress_common import rest_metrics, spawn_result, vm_hwm_kb  # noqa: E402
 
 SF1 = os.environ.get("BEV_SF1_DIR", "/tmp/bev_sf1")
 OUT = os.path.join(
@@ -41,44 +42,6 @@ OUT = os.path.join(
 )
 SAMPLES = [8, 32, 128]
 SUBJECTS = ["closeness_centrality", "betweenness_centrality"]
-
-
-def _rest_metrics(spark) -> dict:
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return {}
-    try:
-        apps = json.load(
-            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
-        )
-        app_id = apps[0]["id"]
-        stages = json.load(
-            urllib.request.urlopen(
-                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
-                timeout=10,
-            )
-        )
-    except Exception as exc:
-        return {"rest_error": str(exc)}
-    return {
-        "spill_memory_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
-        "spill_disk_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
-        "peak_execution_memory": max(
-            (s.get("peakExecutionMemory", 0) for s in stages), default=0
-        ),
-        "n_stages": len(stages),
-    }
-
-
-def _vm_hwm_kb(pid: int) -> int:
-    try:
-        with open(f"/proc/{pid}/status") as fh:
-            for line in fh:
-                if line.startswith("VmHWM:"):
-                    return int(line.split()[1])
-    except OSError:
-        pass
-    return 0
 
 
 def run_one(subject: str, k: int) -> None:
@@ -113,7 +76,7 @@ def run_one(subject: str, k: int) -> None:
     df = fn(edges, sources, max_hops=6)
     df.write.format("noop").mode("overwrite").save()
     wall = time.monotonic() - t0
-    rest = _rest_metrics(spark)
+    rest = rest_metrics(spark)
     rec = {
         "subject": subject,
         "sample_size": k,
@@ -121,28 +84,13 @@ def run_one(subject: str, k: int) -> None:
         "cores": spark.sparkContext.defaultParallelism,
         "wall_sec": round(wall, 3),
         "rows": df.count(),
-        "jvm_peak_rss_mb": _vm_hwm_kb(jvm_pid) // 1024,
+        "jvm_peak_rss_mb": vm_hwm_kb(jvm_pid) // 1024,
         "py_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         // 1024,
         **rest,
     }
     print("RESULT " + json.dumps(rec))
     spark.stop()
-
-
-def _spawn(subject: str, k: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS="32")
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "run", subject, str(k)],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    for line in p.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(
-        f"{subject}@k={k}: no RESULT (rc={p.returncode})\n"
-        f"stdout tail: {p.stdout[-2000:]}\nstderr tail: {p.stderr[-2000:]}"
-    )
 
 
 def run_all() -> None:
@@ -153,7 +101,7 @@ def run_all() -> None:
     results = []
     for subject in SUBJECTS:
         for k in SAMPLES:
-            rec = _spawn(subject, k)
+            rec = spawn_result(__file__, [subject, str(k)])
             results.append(rec)
             print(
                 f"[{subject} k={k}] wall={rec['wall_sec']}s rows={rec['rows']} "

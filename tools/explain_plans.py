@@ -64,7 +64,7 @@ QUERIES = [
     ("betweenness_centrality", "Brandes forward: per hop one frontier-edge equi-join + grouped integer sigma sum; backward: per depth one reversed edge join + grouped dependency sum; state keyed (source, vertex) = |sample| x |reach|, localCheckpoint every 3 levels"),
     ("sitemap_parse", "zero-shuffle per-file map: root-tag kind + entry array materialized once per file, explode carries entry slices (never the xml body), codegen'd per-entry field extraction; no joins, no exchange"),
     ("fetch_schedule", "frontier prune = exact salted two-phase top-k per host (priorities final before bucketing); slot = one per-host window over <= 16k survivors; delays broadcast left join"),
-    ("bowtie", "composition: ColorSCC peel -> 1-row core pick -> two capped frontier-BFS reach passes -> reach-flag classification projection"),
+    ("bowtie", "the dump shows the COMPOSITION stage only: reach-flag classification joins over the checkpointed SCC/BFS outputs (their iterative internals are plan-dumped under the scc and bfs_distances entries; like kg_pagerank, the iterative operator executes eagerly to produce its dump)"),
     ("scc", "ColorSCC peel: per prop round ONE color-edge equi-join + grouped min (monotone label relaxation); backward membership = bfs-style frontier joins filtered to the root's color class; state O(V), never reachability sets"),
     ("text_chunking_bpe", "one batched Arrow encode stage (merges broadcast via closure) feeding the same zero-shuffle closed-form chunk grid as text_chunking"),
     ("crawl_discovery", "canonicalization fused into each scan; union dedup = ONE groupBy on the canonical url; robots gate = one host equi-join (rules broadcast); naming = salted two-phase top-k joined back"),

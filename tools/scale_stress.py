@@ -48,12 +48,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _stress_common import rest_metrics, spawn_result, vm_hwm_kb  # noqa: E402
 
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.environ.get("BEV_SF1_DIR", "/tmp/bev_sf1")
@@ -156,46 +157,6 @@ def build() -> None:
 
 # ------------------------------------------------------------------ run
 
-def _rest_metrics(spark) -> dict:
-    """Sum spill / max peak-execution-memory over completed stages via
-    the UI REST API (local-mode AppStatusStore surface)."""
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return {}
-    try:
-        apps = json.load(
-            urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
-        )
-        app_id = apps[0]["id"]
-        stages = json.load(
-            urllib.request.urlopen(
-                f"{base}/api/v1/applications/{app_id}/stages?status=complete",
-                timeout=10,
-            )
-        )
-    except Exception as exc:  # REST surface is best-effort telemetry
-        return {"rest_error": str(exc)}
-    return {
-        "spill_memory_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
-        "spill_disk_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
-        "peak_execution_memory": max(
-            (s.get("peakExecutionMemory", 0) for s in stages), default=0
-        ),
-        "n_stages": len(stages),
-    }
-
-
-def _vm_hwm_kb(pid: int) -> int:
-    try:
-        with open(f"/proc/{pid}/status") as fh:
-            for line in fh:
-                if line.startswith("VmHWM:"):
-                    return int(line.split()[1])
-    except OSError:
-        pass
-    return 0
-
-
 def run_one(subject: str, sf_dir: str) -> None:
     import resource
 
@@ -218,14 +179,14 @@ def run_one(subject: str, sf_dir: str) -> None:
 
     # REST metrics BEFORE the row-count pass so spill/peak-exec-mem
     # cover exactly the timed materialization, not the recount
-    rest = _rest_metrics(spark)
+    rest = rest_metrics(spark)
     rec = {
         "subject": subject,
         "sf_dir": sf_dir,
         "cores": spark.sparkContext.defaultParallelism,
         "wall_sec": round(wall, 3),
         "rows": df.count(),
-        "jvm_peak_rss_mb": _vm_hwm_kb(jvm_pid) // 1024,
+        "jvm_peak_rss_mb": vm_hwm_kb(jvm_pid) // 1024,
         "py_peak_rss_mb": resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         // 1024,
         **rest,
@@ -240,21 +201,6 @@ def run_one(subject: str, sf_dir: str) -> None:
 
 
 # ------------------------------------------------------------------ all
-
-def _spawn(subject: str, sf_dir: str, cpus: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-    p = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "run", subject, sf_dir],
-        capture_output=True, text=True, env=env, timeout=3600,
-    )
-    for line in p.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
-    raise RuntimeError(
-        f"{subject}@{sf_dir}: no RESULT (rc={p.returncode})\n"
-        f"stdout tail: {p.stdout[-2000:]}\nstderr tail: {p.stderr[-2000:]}"
-    )
-
 
 PROGRESS = "/tmp/bev_stress_progress.jsonl"
 
@@ -283,7 +229,7 @@ def run_all(only: set[str] | None = None) -> None:
             continue
         if (subject, sf_name, role) in done:
             continue
-        rec = _spawn(subject, sf_dir, cpus=cpus)
+        rec = spawn_result(__file__, [subject, sf_dir], cpus=cpus)
         rec["sf"] = sf_name
         if role:
             rec["role"] = role
