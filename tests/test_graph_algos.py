@@ -794,3 +794,26 @@ def test_scc_boundary_cap_still_assigns(spark):
         ).collect()
     }
     assert got == {i: 0 for i in range(13)}
+
+
+def test_bowtie_empty_and_null_scc_graphs(spark):
+    """Degenerate inputs: an empty edge set yields no rows; a graph
+    whose SCCs are ALL cap-starved (no assignment) classifies every
+    vertex 'other' via the no-core fallback."""
+    from bertseyeview_spark.operators.graph import bowtie_classification
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert bowtie_classification(empty).collect() == []
+
+    # a 13-cycle at max_prop=10: coloring can't converge, the SCC
+    # certificates assign nothing -> no core -> everything 'other'
+    edges = [(i, (i + 1) % 13) for i in range(13)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["id"]: r["cls"]
+        for r in bowtie_classification(
+            df, max_peels=2, max_prop=10, max_hops=6
+        ).collect()
+    }
+    assert set(got) == set(range(13))
+    assert all(c == "other" for c in got.values())

@@ -448,3 +448,29 @@ def test_fetch_schedule_salted_prune_is_exact(spark):
         .collect()
     )
     assert got == want
+
+
+def test_crawl_discovery_without_links(spark):
+    """links=None: the naming columns are typed NULLs, everything else
+    works — the discovery legs are independent of the anchor leg."""
+    from bertseyeview_spark.plans.crawl_discovery import discover_urls
+
+    fetched = spark.createDataFrame(
+        [("https://s.example/a",)], "url string"
+    )
+    robots = spark.createDataFrame(
+        [("s.example", "User-agent: *\nDisallow: /a\n")],
+        "host string, robots_txt string",
+    )
+    sitemaps = spark.createDataFrame(
+        [("s.example", "<urlset><url><loc>https://s.example/b</loc></url></urlset>")],
+        "host string, xml string",
+    )
+    rows = {r["url"]: r for r in discover_urls(fetched, robots, sitemaps).collect()}
+    assert set(rows) == {"https://s.example/a", "https://s.example/b"}
+    assert rows["https://s.example/a"]["allowed"] is False
+    assert rows["https://s.example/b"]["allowed"] is True
+    for r in rows.values():
+        assert r["top_anchor"] is None
+        assert r["top_anchor_mentions"] is None
+        assert r["n_inlinks"] is None
