@@ -61,8 +61,59 @@ FILTER_TERMS = ["spark", "vector", "stream"]
 TAG_TERMS = ["spark", "merge", "window"]
 
 
+# tables whose queries are per-row-compute-bound (regex/contains/
+# explode over text, array math over vectors): for these a too-serial
+# scan starves every expression upstream of the first exchange, and a
+# round-robin repartition right after the read (guide §2.5, unsplittable
+# input -> repartition after read) is worth its one cheap exchange —
+# measured 11.3s -> 1.2s for quality_features at sf1.0 on local[32].
+# The relational tables (lineitem/orders/...) are scan/shuffle-bound:
+# for them the same repartition only serializes an extra exchange
+# behind the single scan task (measured events_windowed_agg 0.39s ->
+# 1.5s), so they rely on maxPartitionBytes-based splitting instead
+# (session.py).
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read a bench table; spread under-parallel compute-heavy scans.
+
+    The testdata tables are single parquet files with one (or few) row
+    groups, so a plain read plans 1-6 scan tasks and every expression
+    upstream of the first exchange runs near-serially. Scale-adaptive,
+    not local-tuned: the target is ``defaultParallelism`` (cores here,
+    cluster cores in production), the split-count estimate comes from
+    file bytes (no Spark job), and at real scale scans have >= target
+    splits so this is a no-op. Results are unaffected — every declared
+    query aggregates / joins / sorts; none depends on scan row order."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name not in _SPREAD_TABLES:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return df
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    ).lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    raw = raw.removesuffix("b")
+    max_pb = int(raw[:-1]) * mult[raw[-1]] if raw[-1] in mult else int(raw)
+    # row-group granularity can only make the true task count LOWER
+    # than this byte-derived estimate, never higher
+    if -(-size // max_pb) < target:
+        df = df.repartition(target)
+    return df
 
 
 def _doc_alias_dict(spark: SparkSession) -> DataFrame:

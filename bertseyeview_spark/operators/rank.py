@@ -44,11 +44,46 @@ def article_rank(
     """
     e = edges.select("src", "dst").dropDuplicates().persist()
 
+    # Scale-adaptive partitioning for the iteration tables (guide §2.2/
+    # §2.5): every iteration is its own tiny stage, so at small edge
+    # counts the session-level shuffle width (cores, or 2-3x cluster
+    # cores in production) just multiplies per-stage scheduling
+    # overhead — 10 iterations x 32 near-empty tasks measured 6.3s for
+    # a 150k-edge graph where 4 partitions run it in 4.4s. Derive the
+    # width from the edge count (~50k edge rows, a few MB, per
+    # partition) and cap it at the session's configured shuffle width
+    # so cluster settings still dominate at scale. The count is a
+    # ~free job on the just-persisted edge table.
+    n_edges = e.count()
+    conf = e.sparkSession.conf
+    sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(sess_parts, -(-n_edges // 50_000)))
+    # the width override (see the loop comment below) starts here so
+    # the setup exchanges (vertex distinct, e_norm join) run at p too;
+    # everything from here to the loop runs inside the try whose
+    # ``finally`` restores the session width
+    conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        return _article_rank_body(
+            e, p, variant, damping, iterations, checkpoint_every
+        )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(sess_parts))
+
+
+def _article_rank_body(
+    e: DataFrame,
+    p: int,
+    variant: str,
+    damping: float,
+    iterations: int,
+    checkpoint_every: int,
+) -> DataFrame:
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .repartition("id")
+        .repartition(p, "id")
         .persist()
     )
 
@@ -56,9 +91,16 @@ def article_rank(
         F.count("*").alias("out_deg")
     )
     if variant == "article_rank":
-        avg_out = out_deg.agg(F.avg("out_deg")).collect()[0][0] or 0.0
+        # broadcast 1-row scalar instead of a blocking collect: the
+        # average folds into the e_norm checkpoint job (one driver
+        # round-trip fewer; no job dedicated to a single double)
+        avg_df = out_deg.agg(
+            F.coalesce(F.avg("out_deg"), F.lit(0.0)).alias("_avg_out")
+        )
+        avg_out_col = F.col("_avg_out")
     else:
-        avg_out = 0.0
+        avg_df = None
+        avg_out_col = F.lit(0.0)
 
     # per-source normalization factor, attached to the edge table ONCE:
     # r*inv_norm needs inv_norm per *source*, and sources without
@@ -66,19 +108,30 @@ def article_rank(
     # a single join + grouped sum instead of (norm join + filter + edge
     # join). Nodes with no out-edges contribute nothing (dangling mass
     # is not redistributed — matches the GDS formulation of ArticleRank).
-    norm_src = out_deg.select(
+    norm_src = out_deg
+    if avg_df is not None:
+        norm_src = norm_src.crossJoin(F.broadcast(avg_df))
+    norm_src = norm_src.select(
         F.col("id").alias("src"),
-        (F.lit(1.0) / (F.col("out_deg") + F.lit(avg_out))).alias("inv_norm"),
+        (F.lit(1.0) / (F.col("out_deg") + avg_out_col)).alias("inv_norm"),
     )
     e_norm = (
         e.join(norm_src, "src")
         .select(F.col("src").alias("id"), "dst", "inv_norm")
-        .repartition("id")
+        .repartition(p, "id")
         .localCheckpoint()
     )
 
     ranks = vertices.select("id", F.lit(1.0).alias("rank")).localCheckpoint()
 
+    # the loop's per-iteration aggregation exchanges also run at the
+    # derived width p (the caller's set/restore of the session shuffle
+    # width covers this body): the groupBy keeps its map-side partial
+    # aggregation — the hub-skew compressor a manual repartition(dst)
+    # would forfeit — while its output stays co-partitioned with the
+    # p-partitioned vertex/edge tables, so no iteration pays a
+    # width-mismatch exchange. The checkpoint calls inside the loop
+    # are what plan (and therefore consume) the override.
     for it in range(iterations):
         contribs = (
             ranks.join(e_norm, "id")

@@ -63,6 +63,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input split sizing (guide §6), parameterised for scale. The
+        # local default (16m) exists because the bench tables are
+        # SINGLE parquet files: at the stock 128m a 126 MB lineitem
+        # scans as ONE task and everything upstream of the first
+        # exchange runs serially on local[32] (measured: 3.5s
+        # label_abundance_two_groups, 2.2s top_entities at sf1.0, both
+        # scan-serial). 16m splits it across its row groups with no
+        # extra exchange. Production 100 TB scans should RAISE this
+        # (512m-1g) via the env: there the scan has millions of splits
+        # and larger ones cut scheduling overhead and the map-task
+        # count feeding shuffles (guide §2.2) — small splits are only
+        # right when files are few and cores outnumber them.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
