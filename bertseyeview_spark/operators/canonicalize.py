@@ -190,42 +190,56 @@ def connected_components(
         .dropDuplicates()
         .persist()
     )
-    comp = (
-        edges.select(F.col("a").alias("id"))
-        .union(edges.select(F.col("b").alias("id")))
-        .distinct()
-        .withColumn("comp", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(comp, edges["b"] == comp["id"])
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_comp = (
-            comp.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+    # scale-adaptive width for the per-round exchanges (the article_rank
+    # pattern, rank.py): each round is its own tiny stage, so session-
+    # width shuffles of a small pair graph pay mostly scheduling; derive
+    # the width from the edge count (~50k rows/partition), cap at the
+    # session setting so cluster configs dominate at scale. The count is
+    # ~free on the just-persisted edges and doubles as materialization.
+    n_edges = edges.count()
+    conf = edges.sparkSession.conf
+    sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(sess_parts, -(-n_edges // 50_000)))
+    conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        comp = (
+            edges.select(F.col("a").alias("id"))
+            .union(edges.select(F.col("b").alias("id")))
+            .distinct()
+            .withColumn("comp", F.col("id"))
             .localCheckpoint()
         )
-        if fixed_iterations is None:
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), "id")
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(comp, edges["b"] == comp["id"])
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min("comp").alias("nbr_comp"))
             )
-            comp = new_comp
-            if changed == 0:
-                break
-        else:
-            comp = new_comp
+            new_comp = (
+                comp.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+                .localCheckpoint()
+            )
+            if fixed_iterations is None:
+                changed = (
+                    new_comp.alias("n")
+                    .join(comp.alias("o"), "id")
+                    .where(F.col("n.comp") != F.col("o.comp"))
+                    .limit(1)
+                    .count()
+                )
+                comp = new_comp
+                if changed == 0:
+                    break
+            else:
+                comp = new_comp
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     edges.unpersist()
     return comp.select(
         F.col("id").alias("entity_id"), F.col("comp").alias("canonical_id")

@@ -173,6 +173,35 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 # n-gram Jaccard set-similarity join
 # ---------------------------------------------------------------------------
 
+def _pair_counts(joined: DataFrame) -> DataFrame:
+    """(id_a, id_b[, ...]) join rows -> (id_a, id_b, common) counts,
+    exchanging the RAW pair rows instead of running a map-side partial
+    aggregation first.
+
+    A plain ``groupBy(id_a, id_b).count()`` plans partial+final hash
+    aggregates; here the candidate stream has ~2.4 rows per distinct
+    pair (most co-shingle pairs share only 1-3 shingles), so the
+    map-side hash maps grow to millions of entries per task, deliver
+    almost no combining, and their build/GC cost dominates — measured
+    29.3s vs 10.7s at sf1.0 (127M pair rows, 52M distinct pairs) for
+    partial-agg vs repartition-then-aggregate. The explicit repartition
+    on the pair key satisfies the aggregation's distribution, so Spark
+    plans ONE complete hash aggregate after the exchange; the exchange
+    itself carries 16-byte key rows (shuffle volume is the same either
+    way at this duplication factor). Width = the session shuffle
+    setting (cluster-sized in production). Deep-overlap duplicates of
+    a single pair are bounded by that pair's set size, so the lost
+    map-side combining cannot re-introduce a skewed partition."""
+    sess_parts = int(
+        joined.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return (
+        joined.select("id_a", "id_b")
+        .repartition(sess_parts, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -372,24 +401,16 @@ def ngram_jaccard_pairs(
         # verify candidates against the full JOINABLE (cap-consistent)
         # shingle sets — output is identical to the unfiltered path
         # under the same cap settings
-        common = (
-            cand.join(joinable.withColumnRenamed("id", "id_a"), "id_a")
-            .join(
+        common = _pair_counts(
+            cand.join(joinable.withColumnRenamed("id", "id_a"), "id_a").join(
                 joinable.withColumnRenamed("id", "id_b"),
                 ["id_b", "shingle"],
             )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
         )
     else:
         a = joinable.select(F.col("id").alias("id_a"), "shingle")
         b = joinable.select(F.col("id").alias("id_b"), "shingle")
-        common = (
-            a.join(b, "shingle")
-            .where(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
-        )
+        common = _pair_counts(a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")))
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
@@ -790,10 +811,10 @@ def decontaminate(
 
     Scale plan: the benchmark suite is tiny relative to the corpus, so
     its distinct shingles BROADCAST and the corpus side is scanned
-    exactly once. The corpus shingles are generated WITHOUT any
-    per-document dedup exchange (``shingle_table``'s dropDuplicates
-    would shuffle the entire corpus shingle stream — the dominant cost
-    at 100 TB): the raw zipped-slice explode stays codegen, the
+    exactly once. The corpus shingles are generated WITHOUT per-doc
+    set dedup (``shingle_table`` now dedups locally via array_distinct,
+    but even that local pass is unnecessary here): the raw zipped-slice
+    explode stays codegen, the
     broadcast hash probe filters to HIT rows immediately, and
     per-document distinctness is recovered by ``count_distinct`` over
     only those hit rows — so shingle generation, the probe, and the
@@ -815,8 +836,8 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
-    # raw windows, deliberately NOT shingle_table: its per-doc
-    # dropDuplicates would shuffle the entire corpus shingle stream
+    # raw windows, deliberately NOT shingle_table: per-doc set dedup
+    # is pointless ahead of a broadcast probe + count_distinct
     corpus_sh = _token_windows(docs, id_col, text_col, n)
     hits = (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")

@@ -16,8 +16,35 @@ production (parquet overwrite stands in locally — jars not bundled).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def derived_shuffle_width(df: DataFrame, n_rows: int, rows_per_part: int = 50_000):
+    """Run a block of iterative-loop planning at a shuffle width derived
+    from the loop's working-set row count (guide §2.2/§2.5, the
+    article_rank pattern): each iteration of a DataFrame loop is its own
+    tiny stage, so at small row counts the session-level width (cores
+    locally, 2-3x cluster cores in production) multiplies per-stage
+    scheduling overhead for no parallelism gain — measured 6.3s -> 4.4s
+    for the 10-iteration pagerank on a 150k-edge graph. Width =
+    ceil(n_rows / rows_per_part) (~50k small rows, a few MB, per
+    partition), capped at the session setting so cluster configuration
+    still dominates at scale; restored on exit. Purely a partitioning
+    change — exact-arithmetic loop results are identical, and callers
+    with floating-point aggregations keep the same operator order per
+    group (only grouping placement moves)."""
+    conf = df.sparkSession.conf
+    sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
+    p = max(1, min(sess_parts, -(-max(n_rows, 1) // rows_per_part)))
+    conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        yield p
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(sess_parts))
 
 # entity-id prefix -> node label (reference label set,
 # neo4j_helper.py:2136-2152 + input/als/cytoscape_attributes.json)
@@ -272,25 +299,31 @@ def k_core(edges: DataFrame, k: int = 2, iterations: int = 6) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates()
     )
-    cur = und.localCheckpoint(eager=False)
-    for it in range(iterations):
-        keep = (
+    cur = und.localCheckpoint(eager=True)
+    # peeling loop at an edge-count-derived width (derived_shuffle_width;
+    # integer degree counts — partitioning-independent). The checkpoint
+    # above is eager so the count is a cache read, not a recompute.
+    with derived_shuffle_width(cur, cur.count()):
+        for it in range(iterations):
+            keep = (
+                cur.groupBy("src")
+                .agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("src")
+            )
+            cur = cur.join(keep, "src", "semi").join(
+                keep.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            if it % 2 == 1 or it == iterations - 1:
+                cur = cur.localCheckpoint(eager=False)
+        out = (
             cur.groupBy("src")
-            .agg(F.count("*").alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("src")
+            .agg(F.count("*").alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+            .select(F.col("src").alias("id"), "core_degree")
+            .localCheckpoint(eager=True)
         )
-        cur = cur.join(keep, "src", "semi").join(
-            keep.select(F.col("src").alias("dst")), "dst", "semi"
-        )
-        if it % 2 == 1 or it == iterations - 1:
-            cur = cur.localCheckpoint(eager=False)
-    return (
-        cur.groupBy("src")
-        .agg(F.count("*").alias("core_degree"))
-        .where(F.col("core_degree") >= k)
-        .select(F.col("src").alias("id"), "core_degree")
-    )
+    return out
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -449,26 +482,30 @@ def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
         .repartition("b")
         .persist()
     )
-    labels = (
-        und.select(F.col("a").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint(eager=True)
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
-    for it in range(iterations):
-        msgs = und.join(
-            labels.select(F.col("id").alias("b"), "lbl"), "b"
-        ).select(F.col("a").alias("id"), "lbl")
-        counts = msgs.groupBy("id", "lbl").agg(F.count("*").alias("c"))
+    # width derived from the (just-persisted) undirected edge count —
+    # see derived_shuffle_width; label counts/tie-order are integer and
+    # total, so the result is partitioning-independent
+    with derived_shuffle_width(und, und.count()):
         labels = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("id", "lbl")
+            und.select(F.col("a").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("lbl"))
+            .localCheckpoint(eager=True)
         )
-        if it % 2 == 1 or it == iterations - 1:
-            labels = labels.localCheckpoint(eager=True)
-    out = labels.select("id", F.col("lbl").alias("community"))
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("lbl"))
+        for it in range(iterations):
+            msgs = und.join(
+                labels.select(F.col("id").alias("b"), "lbl"), "b"
+            ).select(F.col("a").alias("id"), "lbl")
+            counts = msgs.groupBy("id", "lbl").agg(F.count("*").alias("c"))
+            labels = (
+                counts.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("id", "lbl")
+            )
+            if it % 2 == 1 or it == iterations - 1:
+                labels = labels.localCheckpoint(eager=True)
+        out = labels.select("id", F.col("lbl").alias("community"))
     und.unpersist(blocking=True)
     return out
 
@@ -507,6 +544,10 @@ def bfs_distances(
         F.col(src_col).alias("id"), F.lit(0).alias("dist")
     ).distinct()
     dist = frontier
+    # NOTE (r8): deliberately left at session width and un-persisted —
+    # see weighted_shortest_paths for the AQE zip hazard that both a
+    # derived-width override and a persist+final-checkpoint variant
+    # triggered on this frontier/anti-join/union loop shape.
     for h in range(1, max_hops + 1):
         # rename the frontier column before the join: the looped
         # lineage contains e after hop 1, and unaliased refs into a
@@ -595,6 +636,13 @@ def weighted_shortest_paths(
         F.col(src_col).alias("id"), F.lit(0.0).alias("cost")
     ).distinct()
     frontier = dist
+    # NOTE (r8): left exactly at session width and un-persisted — BOTH
+    # a derived-width override and an e.persist()+final-checkpoint
+    # variant made AQE zip checkpointed pieces of unequal partition
+    # counts here (IllegalArgumentException "Can't zip RDDs ...",
+    # List(1,2)/List(8,16) at sf0.01). The frontier/anti-join/union
+    # chain is the fragile pattern; rebuild-per-round loops (pagerank,
+    # LPA, k-core, HITS, CC) take the width optimization safely.
     for r in range(1, max_rounds + 1):
         cand = (
             # rename before the join: the looped lineage contains e
@@ -898,12 +946,25 @@ def strongly_connected_components(
     """
     e0 = edges.select("src", "dst").where(
         F.col("src").isNotNull() & F.col("dst").isNotNull()
-    ).distinct()
+    ).distinct().persist()
     verts = (
         e0.select(F.col("src").alias("id"))
         .unionByName(e0.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # e0 persisted: each peel semi-joins it twice and the vertex table
+    # derives from it. NO derived-width override here — the backward
+    # member pass is a frontier/anti-join/union chain, the pattern
+    # where a mid-chain session-width change made AQE zip checkpointed
+    # pieces of unequal partition counts (see weighted_shortest_paths).
+    out = _scc_body(e0, verts, max_peels, max_prop)
+    e0.unpersist()
+    return out
+
+
+def _scc_body(
+    e0: DataFrame, verts: DataFrame, max_peels: int, max_prop: int
+) -> DataFrame:
     live = verts.localCheckpoint(eager=True)
     assigned = None
     for _peel in range(max_peels):
@@ -1011,7 +1072,10 @@ def strongly_connected_components(
         out = verts.join(assigned, "id", "left")
     else:
         out = verts.select("id", F.lit(None).cast(verts.schema["id"].dataType).alias("scc_id"))
-    return out.select("id", "scc_id")
+    # materialize inside the caller's width override while e0 is still
+    # persisted — the lazy verts subtree would otherwise replay e0's
+    # dedup after the caller unpersists it
+    return out.select("id", "scc_id").localCheckpoint(eager=True)
 
 
 def bowtie_classification(

@@ -182,12 +182,26 @@ def personalized_pagerank(
     vertex table as a column (one broadcast-sized left semi-join up
     front, never per iteration); dangling mass is dropped, matching the
     article_rank convention."""
+    from .graph import derived_shuffle_width
+
     e = edges.select("src", "dst").dropDuplicates().persist()
+    n_edges = e.count()
+    with derived_shuffle_width(e, n_edges) as p:
+        return _personalized_pagerank_body(e, sources, damping, iterations, p)
+
+
+def _personalized_pagerank_body(
+    e: DataFrame,
+    sources: DataFrame,
+    damping: float,
+    iterations: int,
+    p: int,
+) -> DataFrame:
     vertices = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .repartition("id")
+        .repartition(p, "id")
     )
     src_ids = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
     n_sources = src_ids.count()
@@ -215,7 +229,7 @@ def personalized_pagerank(
     e_norm = (
         e.join(norm_src, "src")
         .select(F.col("src").alias("id"), "dst", "inv_norm")
-        .repartition("id")
+        .repartition(p, "id")
         .localCheckpoint()
     )
     ranks = vertices.select("id", restart.alias("rank")).localCheckpoint()
@@ -262,52 +276,57 @@ def hits_scores(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """
     if iterations < 1:
         raise ValueError("hits_scores needs at least one iteration")
+    from .graph import derived_shuffle_width
+
     e = edges.select("src", "dst").dropDuplicates().persist()
-    vertices = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .repartition("id")
-        .persist()
-    )
-    # only hubs need initialization: iteration 0 derives auths from
-    # them before any read of a prior auth value (matching the SQL
-    # oracle, which declares h0 only)
-    hubs = vertices.select("id", F.lit(1.0).alias("hub")).localCheckpoint()
-    auths = None
-    for it in range(iterations):
-        auth_in = (
-            hubs.join(e, hubs["id"] == e["src"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("hub").alias("x"))
+    # iteration loop at an edge-count-derived width (the article_rank
+    # pattern; see graph.derived_shuffle_width)
+    with derived_shuffle_width(e, e.count()) as p:
+        vertices = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+            .repartition(p, "id")
+            .persist()
         )
-        auths = vertices.join(auth_in, "id", "left").select(
-            "id", F.coalesce("x", F.lit(0.0)).alias("auth")
+        # only hubs need initialization: iteration 0 derives auths from
+        # them before any read of a prior auth value (matching the SQL
+        # oracle, which declares h0 only)
+        hubs = vertices.select("id", F.lit(1.0).alias("hub")).localCheckpoint()
+        auths = None
+        for it in range(iterations):
+            auth_in = (
+                hubs.join(e, hubs["id"] == e["src"])
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("x"))
+            )
+            auths = vertices.join(auth_in, "id", "left").select(
+                "id", F.coalesce("x", F.lit(0.0)).alias("auth")
+            )
+            hub_in = (
+                auths.join(e, auths["id"] == e["dst"])
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("x"))
+            )
+            hubs = vertices.join(hub_in, "id", "left").select(
+                "id", F.coalesce("x", F.lit(0.0)).alias("hub")
+            )
+            if it % 2 == 1 or it == iterations - 1:
+                auths = auths.localCheckpoint()
+                hubs = hubs.localCheckpoint()
+        a_sum = auths.agg(F.sum("auth").alias("a_sum"))
+        h_sum = hubs.agg(F.sum("hub").alias("h_sum"))
+        out = (
+            auths.join(hubs, "id")
+            .crossJoin(F.broadcast(a_sum))
+            .crossJoin(F.broadcast(h_sum))
+            .select(
+                "id",
+                F.round(F.col("auth") / F.col("a_sum"), 6).alias("auth"),
+                F.round(F.col("hub") / F.col("h_sum"), 6).alias("hub"),
+            )
         )
-        hub_in = (
-            auths.join(e, auths["id"] == e["dst"])
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("auth").alias("x"))
-        )
-        hubs = vertices.join(hub_in, "id", "left").select(
-            "id", F.coalesce("x", F.lit(0.0)).alias("hub")
-        )
-        if it % 2 == 1 or it == iterations - 1:
-            auths = auths.localCheckpoint()
-            hubs = hubs.localCheckpoint()
-    a_sum = auths.agg(F.sum("auth").alias("a_sum"))
-    h_sum = hubs.agg(F.sum("hub").alias("h_sum"))
-    out = (
-        auths.join(hubs, "id")
-        .crossJoin(F.broadcast(a_sum))
-        .crossJoin(F.broadcast(h_sum))
-        .select(
-            "id",
-            F.round(F.col("auth") / F.col("a_sum"), 6).alias("auth"),
-            F.round(F.col("hub") / F.col("h_sum"), 6).alias("hub"),
-        )
-    )
-    out = out.localCheckpoint(eager=True)
+        out = out.localCheckpoint(eager=True)
     e.unpersist(blocking=True)
     vertices.unpersist(blocking=True)
     return out

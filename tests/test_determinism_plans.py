@@ -170,12 +170,20 @@ def test_bm25_codegen_term_filter_plan(spark):
 def test_c4_line_filter_plan_has_no_exchange(spark, sf_dir):
     """The C4 recipe's whole point of the in-place array-HOF
     formulation is removing the explode + corpus-wide regroup: the
-    physical plan must contain NO exchange of any kind."""
+    physical plan must contain NO key-partitioned (hash/range) exchange.
+    The r8 scan-spread repartition (a ROUND-ROBIN exchange right after
+    the read that parallelizes the single-row-group documents file —
+    see __spark_entry__._t) is deliberate and allowed: it moves rows
+    once without any regroup semantics."""
     import __spark_entry__ as E
 
     df = E.queries()["c4_line_filter"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
 
 
