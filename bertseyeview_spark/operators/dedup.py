@@ -161,10 +161,23 @@ def _shingle_text(n: int) -> "F.Column":
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(id, shingle) rows, distinct per doc (set semantics); see
-    :func:`_shingle_sets` for the dedup-without-exchange argument."""
+    :func:`_shingle_sets` for the dedup-without-exchange argument.
+
+    The window array is exploded INLINE (not via a projected column):
+    exploding an attribute makes InferFiltersFromGenerate add a
+    ``size(col) > 0`` guard that projection-collapse inlines into the
+    scan filter with the whole zip+split expression — re-tokenizing
+    every row several times over (the gopher bigram pathology,
+    textquality.py). The dedup builders that DO project the array
+    (ngram/minhash) are safe because they persist it first — the
+    inferred filter then reads the cached column."""
+    toks = norm_tokens(text_col)
+    m = F.size("_t") - F.lit(n - 1)
+    zipped = F.arrays_zip(*[F.slice(F.col("_t"), k + 1, m) for k in range(n)])
     return (
-        _shingle_sets(df, id_col, text_col, n)
-        .select("id", F.explode("_za").alias("_z"))
+        df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+        .where(F.size("_t") >= n)
+        .select("id", F.explode(F.array_distinct(zipped)).alias("_z"))
         .select("id", _shingle_text(n).alias("shingle"))
     )
 
@@ -646,16 +659,24 @@ def simhash_candidates_from_sigs(
     r = banded.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("sig_b"), "band", "bucket"
     )
+    # hamming filter BEFORE the pair dedup (r8): on low-entropy corpora
+    # the 6-bit band buckets degenerate (50k docs -> 2.35B joined rows
+    # measured at sf1.0) and the old shape shuffled ALL of them through
+    # dropDuplicates before the one-cycle bit_count filter cut ~all.
+    # bit_count runs inside the join's codegen stage, so non-candidate
+    # rows now die in-stage and the dedup exchange carries only pairs
+    # within the budget (measured 660s -> ~35s at sf1.0). hamming is a
+    # pure function of the two signatures, so filtering per join row
+    # instead of per deduped pair selects exactly the same pair set.
     return (
         l.join(r, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -682,6 +703,7 @@ def simhash_verified_pairs(
     n: int = 3,
     threshold: float = 0.8,
     materialize: bool = True,
+    verify: str = "arrays",
 ) -> DataFrame:
     """SimHash-bucketed near-dup pairs with an exact n-gram-Jaccard
     verify: candidates = :func:`simhash_pairs` (hamming banding prunes
@@ -699,10 +721,67 @@ def simhash_verified_pairs(
     (2 of 256 true pairs sit at hamming 11-14 — tiny-vocabulary text
     compresses signature variance, the known SimHash failure mode).
     When the budget saturates, the output equals the exact-SQL Jaccard
-    join, so an ANSI oracle grades it without replaying crc32."""
+    join, so an ANSI oracle grades it without replaying crc32.
+
+    ``verify`` picks the exact-Jaccard verification shape (identical
+    outputs, measured at sf1.0 where the degenerate 6-bit buckets
+    yield 72M within-budget candidates):
+
+    * ``"arrays"`` (default): broadcast each document's distinct
+      window-hash ARRAY onto the candidate pairs and count the
+      intersection per pair (``size(array_intersect)``) — work and
+      exchange are O(candidates), measured ~115s. CEILING: the
+      per-doc array table must broadcast (~8B x set_size x n_docs —
+      tens of millions of docs at typical set sizes); past that, use
+      ``"join"``.
+    * ``"join"``: explode candidates against the shingle rows and
+      re-aggregate — no broadcast requirement, scales to any corpus,
+      but the exchange is O(candidates x set_size) (3.2B rows, ~374s
+      measured on the same input).
+    """
     cands = simhash_pairs(df, id_col, text_col, max_hamming).select(
         "id_a", "id_b"
     )
+    if verify == "arrays":
+        arr = _shingle_sets(df, id_col, text_col, n).select(
+            "id",
+            F.transform("_za", lambda z: F.xxhash64(z)).alias("harr"),
+            F.size("_za").alias("sz"),
+        )
+        if materialize:
+            # one materialization feeds BOTH broadcast sides
+            arr = arr.persist()
+        out = (
+            cands.join(
+                F.broadcast(
+                    arr.select(
+                        F.col("id").alias("id_a"),
+                        F.col("harr").alias("_ha"),
+                        F.col("sz").alias("_sa"),
+                    )
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    arr.select(
+                        F.col("id").alias("id_b"),
+                        F.col("harr").alias("_hb"),
+                        F.col("sz").alias("_sb"),
+                    )
+                ),
+                "id_b",
+            )
+            .withColumn("common", F.size(F.array_intersect("_ha", "_hb")))
+            .withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("_sa") + F.col("_sb") - F.col("common")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        return _finalize(out, arr) if materialize else out
     sh = shingle_table(df, id_col, text_col, n)
     if materialize:
         sh = sh.persist()

@@ -36,7 +36,10 @@ def derived_shuffle_width(df: DataFrame, n_rows: int, rows_per_part: int = 50_00
     still dominates at scale; restored on exit. Purely a partitioning
     change — exact-arithmetic loop results are identical, and callers
     with floating-point aggregations keep the same operator order per
-    group (only grouping placement moves)."""
+    group (only grouping placement moves). The override is session-
+    visible while held: a plan built concurrently on another driver
+    thread would pick it up — keep loop operators on the sequential
+    query path (they are today), or scope a separate session."""
     conf = df.sparkSession.conf
     sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
     p = max(1, min(sess_parts, -(-max(n_rows, 1) // rows_per_part)))

@@ -74,9 +74,18 @@ def bm25_search(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
     )
 
-    qt = base.select("id", "dl", F.explode("w").alias("term")).where(
-        F.col("term").isin(terms)
-    )
+    # explode the tokenizer expression INLINE rather than the projected
+    # `w` column: exploding an attribute makes InferFiltersFromGenerate
+    # push a size-guard with the whole split expression into the scan
+    # filter (extra full tokenizations per row — the gopher bigram
+    # pathology, textquality.py). norm_tokens appears twice (size +
+    # explode) but per ROW, which is cheap; `base` still feeds the
+    # scalar aggregate unchanged.
+    qt = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(norm_tokens(text_col)).alias("dl"),
+        F.explode(norm_tokens(text_col)).alias("term"),
+    ).where(F.col("term").isin(terms))
     tf = qt.groupBy("id", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )

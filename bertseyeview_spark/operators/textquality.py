@@ -279,30 +279,54 @@ def gopher_quality_flags(
     # the canonical norm_tokens (edge-strip + empty guard): the old
     # local trim()-based guard missed tab/CRLF-only and tab-edged
     # documents (phantom '' tokens — the r6 tokenizer-drift class)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        norm_tokens(text_col).alias("w"),
-    ).select(
+    #
+    # r8 PERFORMANCE NOTE — two rewrites, both value-identical:
+    # * mean_word_len: sum-of-token-lengths via ONE
+    #   length(array_join(w, "")) instead of an interpreted
+    #   aggregate(transform(w, length)) fold (same integer sum, one
+    #   collection call per row instead of 2 per token);
+    # * bigrams: the arrays_zip-of-shifted-slices window build (the
+    #   dedup._token_windows formulation) instead of an indexed lambda
+    #   `(x, i) -> concat(x, ' ', w[i + 1])`. The indexed lambda
+    #   re-evaluated the WHOLE tokenizer split for every `w[i + 1]`
+    #   element access after projection collapse — measured 99s for the
+    #   bigram explode at sf1.0 vs 1.9s for the zip form (a 50x
+    #   pathology, the same reason word_ngrams is banned from hot
+    #   paths). The zip must be exploded INLINE (never materialized as
+    #   a projected column first): exploding an attribute makes
+    #   InferFiltersFromGenerate add a `size(col) > 0` filter that
+    #   projection-collapse rewrites into the pre-exchange Filter with
+    #   the whole zip+split expression inlined — re-tokenizing every
+    #   row several times over (measured 14s vs 1.9s).
+    toks = norm_tokens(text_col)
+    tok_base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    base = tok_base.select(
         "id",
         F.size("w").alias("n_words"),
         F.round(
             F.when(
                 F.size("w") > 0,
-                F.aggregate(
-                    F.transform(F.col("w"), lambda x: F.length(x)),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ).cast("double")
-                / F.size("w"),
+                F.length(F.array_join("w", "")).cast("double") / F.size("w"),
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("mean_word_len"),
-        F.expr(
-            "transform(slice(w, 1, greatest(size(w) - 1, 0)),"
-            " (x, i) -> concat(x, ' ', w[i + 1]))"
-        ).alias("bigrams"),
     )
-    bg = base.select("id", F.explode("bigrams").alias("bigram"))
+    m2 = F.size("w") - F.lit(1)
+    bg = (
+        tok_base.where(F.size("w") >= 2)
+        .select(
+            "id",
+            F.explode(
+                F.arrays_zip(F.slice("w", 1, m2), F.slice("w", 2, m2))
+            ).alias("_z"),
+        )
+        .select(
+            "id",
+            F.concat_ws(" ", F.col("_z")["0"], F.col("_z")["1"]).alias(
+                "bigram"
+            ),
+        )
+    )
     top = (
         bg.groupBy("id", "bigram")
         .agg(F.count("*").alias("c"))
@@ -310,7 +334,7 @@ def gopher_quality_flags(
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_bg"))
     )
     out = (
-        base.drop("bigrams")
+        base
         .join(top, "id", "left")
         .withColumn(
             "top_bigram_frac",

@@ -60,7 +60,13 @@ def clean_corpus(
         max_top_bigram_frac=max_top_bigram_frac,
     ).select("id", F.col("keep").alias("_quality_ok"))
 
-    gated = lang.join(quality, "id")
+    # materialize the gate table ONCE: three consumers read it (the
+    # survivor set feeding the pair join, the representative join, and
+    # the final verdict) and each would otherwise replay the full
+    # language + Gopher expression chains over the corpus — measured
+    # ~5s per replay at sf1.0. localCheckpoint (not persist) so the
+    # blocks are lineage-cut and GC-reclaimed with the returned frame.
+    gated = lang.join(quality, "id").localCheckpoint(eager=True)
     survivors = gated.where(F.col("_lang_ok") & F.col("_quality_ok")).select(
         "id", "t"
     )
