@@ -215,6 +215,219 @@ def _pair_counts(joined: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("common"))
     )
 
+def _concat_ranges(starts, lens):
+    """Concatenate ``[starts[i], starts[i]+lens[i])`` ranges into one flat
+    int64 index array without a Python loop (zero-length ranges drop out
+    of ``np.repeat`` naturally)."""
+    import numpy as np
+
+    cs = np.cumsum(lens, dtype=np.int64)
+    tot = int(cs[-1]) if len(cs) else 0
+    if tot == 0:
+        return np.empty(0, np.int64)
+    offs = np.repeat(starts - np.concatenate(([0], cs[:-1])), lens)
+    return offs + np.arange(tot, dtype=np.int64)
+
+
+def _pair_counts_broadcast(
+    joinable: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+    doc_arrays: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, common) intersection counts WITHOUT the candidate
+    exchange: broadcast the doc<->shingle bipartite structure as CSR
+    arrays and count each doc's co-occurrences with one vectorized
+    sort-count (``np.unique``) per block inside a ``mapInArrow`` kernel (guide
+    §4.2 — hand whole batches to numpy; §2.4 — the 127M-row shingle
+    self-join *and* its 52M-key pair aggregation are removed outright).
+
+    Exactness: counts are per distinct (doc, shingle-hash) exactly as
+    the equi-join path; the same xxhash64 keys are used, so collision
+    semantics are unchanged. Only pairs whose numpy-float64 Jaccard
+    reaches ``threshold - 1e-9`` are emitted (c, |a|, |b| are exactly
+    representable ints and the division is the same IEEE double op
+    Catalyst performs, so this prefilter cannot drop a qualifying pair;
+    the epsilon is insurance, and the EXACT filter still runs in
+    Catalyst downstream). Pair orientation: the doc index table is
+    ordered by Spark's own ``orderBy(id)``, so ``index_a < index_b``
+    reproduces the join path's ``id_a < id_b`` under Spark's comparator
+    for any id type. Each unordered pair is produced exactly once (by
+    the task owning the smaller-id doc; task slices are disjoint).
+
+    Scale ceiling (enforced by the caller's auto dispatch): the CSR
+    arrays must broadcast (~16 bytes per (doc, shingle) row) and the
+    per-task dense count blocks scan O(n_docs^2 / tasks) cells, so this
+    path is for the <=~150k-doc / <=~32M-row regime; past that the
+    shuffle join path (or prefix filtering) takes over automatically.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = (doc_arrays or joinable).sparkSession
+    id_type = dict(zip(sizes.schema.names, sizes.schema.fields))[
+        "id"
+    ].dataType.simpleString()
+    # Spark-ordered doc table: index order == Spark's `<` order on ids.
+    # With ``doc_arrays`` (id, harr array<bigint>) ONE collect yields
+    # ids, set sizes and postings together (the caller passes it when
+    # the join universe is the full per-doc set — the uncapped case);
+    # otherwise collect the exploded (id, shingle) rows + sizes.
+    if doc_arrays is not None:
+        doc_pdf = doc_arrays.orderBy("id").toPandas()
+        n_docs = len(doc_pdf)
+        if n_docs == 0:
+            return spark.createDataFrame(
+                [], schema=f"id_a {id_type}, id_b {id_type}, common bigint"
+            )
+        doc_ids = doc_pdf["id"].to_numpy()
+        harr = doc_pdf["harr"].to_numpy()
+        doc_sz = np.fromiter(
+            (len(x) for x in harr), np.int64, n_docs
+        )
+        if int(doc_sz.sum()) == 0:
+            return spark.createDataFrame(
+                [], schema=f"id_a {id_type}, id_b {id_type}, common bigint"
+            )
+        sh = np.concatenate(harr)
+        di = np.repeat(np.arange(n_docs, dtype=np.int64), doc_sz)
+    else:
+        doc_pdf = sizes.orderBy("id").toPandas()
+        post_pdf = joinable.toPandas()
+        n_docs = len(doc_pdf)
+        if n_docs == 0 or len(post_pdf) == 0:
+            return spark.createDataFrame(
+                [], schema=f"id_a {id_type}, id_b {id_type}, common bigint"
+            )
+        doc_ids = doc_pdf["id"].to_numpy()
+        doc_sz = doc_pdf["set_size"].to_numpy().astype(np.int64)
+
+        import pandas as pd_mod
+
+        di = (
+            pd_mod.Index(doc_pdf["id"])
+            .get_indexer(post_pdf["id"])
+            .astype(np.int64)
+        )
+        sh = post_pdf["shingle"].to_numpy()
+    # postings sorted by (shingle, doc-index): each shingle's segment is
+    # ascending in doc index, so "co-occurrences with docs AFTER me" is
+    # a contiguous tail slice of the segment — counting only those
+    # halves the increments vs all-ordered-pairs AND yields id_a < id_b
+    # by construction (index order == Spark id order).
+    order = np.lexsort((di, sh))
+    sh_sorted = sh[order]
+    post_docs = di[order].astype(np.int32)
+    npost = len(post_docs)
+    new_sh = np.empty(npost, dtype=bool)
+    new_sh[0] = True
+    np.not_equal(sh_sorted[1:], sh_sorted[:-1], out=new_sh[1:])
+    seg_start = np.flatnonzero(new_sh)
+    seg_end_all = np.append(seg_start[1:], npost)
+    seg_id = (np.cumsum(new_sh) - 1).astype(np.int64)
+    # per (doc, shingle) posting row: gather range = (own position + 1,
+    # segment end) — the docs after me in this shingle's posting list
+    tail_start = np.arange(1, npost + 1, dtype=np.int64)
+    tail_len = (seg_end_all[seg_id] - tail_start).astype(np.int32)
+    # doc -> its posting rows CSR (rows sorted by doc via stable sort)
+    dorder = np.argsort(post_docs, kind="stable")
+    pair_start = tail_start[dorder].astype(np.int32)
+    pair_len = tail_len[dorder]
+    doc_offsets = np.concatenate(
+        ([0], np.cumsum(np.bincount(post_docs, minlength=n_docs)))
+    ).astype(np.int64)
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "n": n_docs,
+            "doc_ids": doc_ids,
+            "doc_sz": doc_sz,
+            "doc_offsets": doc_offsets,
+            "pair_start": pair_start,
+            "pair_len": pair_len,
+            "post_docs": post_docs,
+            "thr": float(threshold),
+        }
+    )
+
+    def count_blocks(batches):
+        import numpy as np
+
+        b = bc.value
+        n = b["n"]
+        doc_offsets = b["doc_offsets"]
+        pair_start = b["pair_start"]
+        pair_len = b["pair_len"]
+        post_docs = b["post_docs"]
+        doc_sz = b["doc_sz"]
+        doc_ids = b["doc_ids"]
+        thr = b["thr"] - 1e-9
+        for batch in batches:
+            ids = batch.column(0).to_numpy()
+            if len(ids) == 0:
+                continue
+            blk_all = ids.astype(np.int64)
+            # split the batch so one block gathers ~8M co-occurrence
+            # rows (bounds temporaries; no dense n-wide window exists)
+            scnt = doc_offsets[blk_all + 1] - doc_offsets[blk_all]
+            fs_all = _concat_ranges(doc_offsets[blk_all], scnt)
+            work = np.zeros(len(blk_all) + 1, dtype=np.int64)
+            np.cumsum(
+                np.add.reduceat(
+                    np.concatenate(
+                        (pair_len[fs_all].astype(np.int64), [0])
+                    ),
+                    np.concatenate(([0], np.cumsum(scnt[:-1]))),
+                )
+                * (scnt > 0),
+                out=work[1:],
+            )
+            cuts = [0]
+            while cuts[-1] < len(blk_all):
+                nxt = int(
+                    np.searchsorted(
+                        work, work[cuts[-1]] + 8_000_000, side="left"
+                    )
+                )
+                cuts.append(max(nxt, cuts[-1] + 1))
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                blk = blk_all[s:e]
+                nb = len(blk)
+                cnt_s = scnt[s:e]
+                fs_idx = _concat_ranges(doc_offsets[blk], cnt_s)
+                if len(fs_idx) == 0:
+                    continue
+                rl = pair_len[fs_idx].astype(np.int64)
+                gidx = _concat_ranges(pair_start[fs_idx], rl)
+                if len(gidx) == 0:
+                    continue
+                gdocs = post_docs[gidx].astype(np.int64)
+                owner = np.repeat(
+                    np.repeat(blk, cnt_s), rl
+                )
+                uk, c = np.unique(owner * n + gdocs, return_counts=True)
+                a_idx = uk // n
+                b_idx = uk % n
+                jac = c / (doc_sz[a_idx] + doc_sz[b_idx] - c)
+                keep = jac >= thr
+                a_idx, b_idx, c = a_idx[keep], b_idx[keep], c[keep]
+                if len(c) == 0:
+                    continue
+                yield pa.record_batch(
+                    [
+                        pa.array(doc_ids[a_idx]),
+                        pa.array(doc_ids[b_idx]),
+                        pa.array(c, type=pa.int64()),
+                    ],
+                    names=["id_a", "id_b", "common"],
+                )
+
+    driver = spark.range(0, n_docs, 1, spark.sparkContext.defaultParallelism)
+    return driver.mapInArrow(
+        count_blocks, schema=f"id_a {id_type}, id_b {id_type}, common bigint"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -227,6 +440,9 @@ def ngram_jaccard_pairs(
     auto_prefix_candidates: int = 20_000_000,
     auto_min_docs: int = 100_000,
     materialize: bool = True,
+    pair_mode: str = "auto",
+    broadcast_max_docs: int = 150_000,
+    broadcast_max_rows: int = 32_000_000,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
@@ -278,6 +494,27 @@ def ngram_jaccard_pairs(
     A 64-bit collision merging two distinct shingles has probability
     ~|distinct shingles|^2 / 2^65 (~1e-7 at 2.6M shingles) and is
     accepted; outputs are oracle-verified equal at every test SF.
+
+    ``pair_mode`` picks how intersections are counted when prefix
+    filtering is off (identical outputs — asserted in tests):
+
+    * ``"broadcast"``: ship the doc<->shingle CSR to every task and
+      bincount co-occurrences per doc block in a numpy ``mapInArrow``
+      kernel (:func:`_pair_counts_broadcast`) — removes the shingle
+      self-join's candidate stream (127M rows at sf1.0) and the
+      52M-key pair aggregation exchange entirely; only near-threshold
+      pairs (thousands) ever leave the kernel. The exact Jaccard
+      filter/round still run in Catalyst, so arithmetic is unchanged.
+    * ``"join"``: the exchange-based exact path (shingle equi-join +
+      :func:`_pair_counts`) — no broadcast requirement, the 100-TB
+      shape.
+    * ``"auto"`` (default): broadcast iff the corpus fits the kernel's
+      ceiling (``broadcast_max_docs`` docs / ``broadcast_max_rows``
+      (doc, shingle) rows — CSR bytes and the per-task dense count
+      window both stay bounded); join otherwise. The deciding counts
+      come from one cheap aggregation over the persisted per-doc set
+      table (plus the capped-universe row sum the frequency probe
+      already computes when the cap is on).
     """
     shsets = _shingle_sets(df, id_col, text_col, n)
     if materialize:
@@ -299,6 +536,7 @@ def ngram_jaccard_pairs(
             prefix_filter = False
 
     joinable = sh
+    nnz_join = None  # (doc, shingle) rows in the join universe, if known
     freq = sh.groupBy("shingle").agg(F.count("*").alias("f"))
     if max_shingle_freq is not None or prefix_filter == "auto":
         cap = max_shingle_freq
@@ -308,9 +546,11 @@ def ngram_jaccard_pairs(
             F.sum(
                 F.when(in_join, F.col("f") * (F.col("f") - 1) / 2).otherwise(0)
             ).alias("cand_volume"),
+            F.sum(F.when(in_join, F.col("f")).otherwise(0)).alias("nnz_join"),
         ).first()
         n_dropped = int(probe["n_dropped"] or 0)
         cand_volume = int(probe["cand_volume"] or 0)
+        nnz_join = int(probe["nnz_join"] or 0)
         if max_shingle_freq is not None:
             if log_dropped and n_dropped:
                 print(
@@ -421,9 +661,40 @@ def ngram_jaccard_pairs(
             )
         )
     else:
-        a = joinable.select(F.col("id").alias("id_a"), "shingle")
-        b = joinable.select(F.col("id").alias("id_b"), "shingle")
-        common = _pair_counts(a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")))
+        use_broadcast = pair_mode == "broadcast"
+        if pair_mode == "auto":
+            st = shsets.agg(
+                F.count("*").alias("nd"), F.sum(F.size("_za")).alias("nnz")
+            ).first()
+            n_docs_b = int(st["nd"] or 0)
+            nnz = nnz_join if nnz_join is not None else int(st["nnz"] or 0)
+            use_broadcast = (
+                0 < n_docs_b <= broadcast_max_docs
+                and nnz <= broadcast_max_rows
+            )
+        if use_broadcast:
+            # uncapped universe: ship the per-doc hash arrays in ONE
+            # collect (ids, sizes and postings together); the capped
+            # universe collects the semi-joined rows instead
+            doc_arrays = (
+                shsets.select(
+                    "id",
+                    F.transform("_za", lambda z: F.xxhash64(z)).alias(
+                        "harr"
+                    ),
+                )
+                if max_shingle_freq is None
+                else None
+            )
+            common = _pair_counts_broadcast(
+                joinable, sizes, threshold, doc_arrays=doc_arrays
+            )
+        else:
+            a = joinable.select(F.col("id").alias("id_a"), "shingle")
+            b = joinable.select(F.col("id").alias("id_b"), "shingle")
+            common = _pair_counts(
+                a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+            )
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")

@@ -250,6 +250,55 @@ def test_ngram_jaccard_vs_python(spark, docs):
     assert (0, 1) in rows and rows[(0, 1)] == 1.0
 
 
+def test_ngram_pair_modes_identical(spark, docs):
+    """The broadcast bincount counter (r8) and the exchange join path
+    must be row-identical — including under a frequency cap (counting
+    on the capped universe, Jaccard on full sizes) and with STRING ids
+    (pair orientation must follow Spark's comparator, pinned here by
+    ids whose lexicographic order differs from insertion order)."""
+
+    def both(df, **kw):
+        a = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(df, "doc_id", "text", pair_mode="join", **kw).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(
+                    df, "doc_id", "text", pair_mode="broadcast", **kw
+                ).collect(),
+            )
+        )
+        return a, b
+
+    a, b = both(docs, n=3, threshold=0.5)
+    assert a == b and len(a) > 0
+    a, b = both(docs, n=3, threshold=0.3, max_shingle_freq=3, log_dropped=False)
+    assert a == b
+    sdocs = docs.withColumn(
+        "doc_id", F.concat(F.lit("d"), (F.lit(10) - F.col("doc_id")))
+    )
+    a, b = both(sdocs, n=3, threshold=0.5)
+    assert a == b and len(a) > 0
+    # auto dispatch: tiny corpora resolve to the broadcast kernel, and a
+    # zero-doc ceiling forces the join path — outputs identical either way
+    forced_join = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, broadcast_max_docs=0
+    )
+    assert (
+        sorted(map(tuple, forced_join.collect()))
+        == sorted(
+            map(
+                tuple,
+                D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect(),
+            )
+        )
+    )
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     got = {(r["id_a"], r["id_b"]) for r in
            D.minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=64,
