@@ -740,6 +740,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     materialize: bool = True,
+    verify: str = "arrays",
 ) -> DataFrame:
     """Near-dup pairs via banding: docs agreeing on all rows of any band
     become candidates (bucket equi-join on (band, band-slice-hash)),
@@ -751,10 +752,20 @@ def minhash_lsh_pairs(
     (:func:`_shingle_sets`) rather than exploded shingle rows: ~n_docs
     cached rows instead of n_docs * |set|, set sizes via ``F.size``
     (no grouped count), and each consumer (signature agg, verify join)
-    explodes locally from the cache. The verification join runs on
-    ``xxhash64`` of the window struct — 8-byte keys instead of shingle
-    strings (guide §2.3); signature hashing stays on the shingle
-    STRING so the banding dice are unchanged."""
+    explodes locally from the cache. Verification runs on ``xxhash64``
+    of the window struct — 8-byte keys instead of shingle strings
+    (guide §2.3); signature hashing stays on the shingle STRING so the
+    banding dice are unchanged.
+
+    ``verify`` mirrors :func:`simhash_verified_pairs` (identical
+    outputs): ``"arrays"`` (default) broadcasts each doc's window-hash
+    array onto the candidate pairs and counts the intersection per
+    pair — no re-explode of the shingle stream, work O(candidates x
+    set_size) on thousands of candidates; its ceiling is the broadcast
+    of the per-doc array table (tens of millions of docs at typical
+    set sizes). ``"join"`` explodes candidates against the hashed
+    shingle rows and re-aggregates — no broadcast requirement, the
+    beyond-ceiling path."""
     rows_per_band = num_perm // bands
     # one shingle pass feeds both signatures and candidate verification
     shsets = _shingle_sets(df, id_col, text_col, n)
@@ -802,7 +813,44 @@ def minhash_lsh_pairs(
     )
 
     # verify candidates with exact Jaccard (reuses the cached per-doc
-    # sets; hashed 8-byte join keys, see docstring)
+    # sets; hashed 8-byte keys, see docstring)
+    if verify == "arrays":
+        arr = shsets.select(
+            "id",
+            F.transform("_za", lambda z: F.xxhash64(z)).alias("harr"),
+            F.size("_za").alias("sz"),
+        )
+        out = (
+            candidates.join(
+                F.broadcast(
+                    arr.select(
+                        F.col("id").alias("id_a"),
+                        F.col("harr").alias("_ha"),
+                        F.col("sz").alias("size_a"),
+                    )
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    arr.select(
+                        F.col("id").alias("id_b"),
+                        F.col("harr").alias("_hb"),
+                        F.col("sz").alias("size_b"),
+                    )
+                ),
+                "id_b",
+            )
+            .withColumn("common", F.size(F.array_intersect("_ha", "_hb")))
+            .withColumn(
+                "jaccard",
+                F.col("common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+        return _finalize(out, shsets) if materialize else out
     sizes = shsets.select("id", F.size("_za").alias("set_size"))
     shh = shsets.select("id", F.explode("_za").alias("_z")).select(
         "id", F.xxhash64("_z").alias("shingle")
