@@ -516,15 +516,22 @@ def ngram_jaccard_pairs(
       table (plus the capped-universe row sum the frequency probe
       already computes when the cap is on).
     """
-    shsets = _shingle_sets(df, id_col, text_col, n)
+    # cache per-doc HASH arrays, not the window structs: every internal
+    # consumer (probe, join sides, broadcast kernel, sizes) runs on the
+    # 8-byte xxhash64 keys, so hashing once before the persist shrinks
+    # the cached rows ~4x (array<bigint> vs 3-string structs) and the
+    # explode sides read longs straight from cache. Distinct runs on
+    # the STRUCTS first, so set semantics (and the within-doc collision
+    # class) are unchanged vs the historical shape.
+    shsets = _shingle_sets(df, id_col, text_col, n).select(
+        "id", F.transform("_za", lambda z: F.xxhash64(z)).alias("_ha")
+    )
     if materialize:
         shsets = shsets.persist()
-    sh = shsets.select("id", F.explode("_za").alias("_z")).select(
-        "id", F.xxhash64("_z").alias("shingle")
-    )
+    sh = shsets.select("id", F.explode("_ha").alias("shingle"))
     # set size is array length on the cached per-doc rows — no grouped
     # count over the exploded shingle rows (one exchange fewer)
-    sizes = shsets.select("id", F.size("_za").alias("set_size"))
+    sizes = shsets.select("id", F.size("_ha").alias("set_size"))
 
     # tier-1 auto decision by corpus row count runs ONLY when no
     # frequency probe will run anyway (cap disabled): with the
@@ -664,7 +671,7 @@ def ngram_jaccard_pairs(
         use_broadcast = pair_mode == "broadcast"
         if pair_mode == "auto":
             st = shsets.agg(
-                F.count("*").alias("nd"), F.sum(F.size("_za")).alias("nnz")
+                F.count("*").alias("nd"), F.sum(F.size("_ha")).alias("nnz")
             ).first()
             n_docs_b = int(st["nd"] or 0)
             nnz = nnz_join if nnz_join is not None else int(st["nnz"] or 0)
@@ -677,12 +684,7 @@ def ngram_jaccard_pairs(
             # collect (ids, sizes and postings together); the capped
             # universe collects the semi-joined rows instead
             doc_arrays = (
-                shsets.select(
-                    "id",
-                    F.transform("_za", lambda z: F.xxhash64(z)).alias(
-                        "harr"
-                    ),
-                )
+                shsets.select("id", F.col("_ha").alias("harr"))
                 if max_shingle_freq is None
                 else None
             )
