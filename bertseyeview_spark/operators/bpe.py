@@ -204,6 +204,15 @@ def encode_token_arrays(
                         continue
                     enc = cache.get(w)
                     if enc is None:
+                        # bound the per-task cache: on high-cardinality
+                        # partitions (random ids/URLs in text) an
+                        # unbounded dict grows with the partition's
+                        # vocabulary and can exhaust the Python worker
+                        # (guide §5). 2M entries ~= a few hundred MB
+                        # worst-case; real corpora repeat words far
+                        # below that, so the reset never fires there.
+                        if len(cache) >= 2_000_000:
+                            cache.clear()
                         enc = encode_word(w, ranks)
                         cache[w] = enc
                     out.extend(enc)

@@ -23,7 +23,13 @@ def rest_metrics(spark) -> dict:
         apps = json.load(
             urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
         )
-        app_id = apps[0]["id"]
+        # match the CURRENT application, not apps[0]: on a shared or
+        # history-server-backed UI the first listed app can be another
+        # run's, and the metrics would silently read the wrong job
+        want = spark.sparkContext.applicationId
+        app_id = next(
+            (a["id"] for a in apps if a.get("id") == want), apps[0]["id"]
+        )
         stages = json.load(
             urllib.request.urlopen(
                 f"{base}/api/v1/applications/{app_id}/stages?status=complete",
