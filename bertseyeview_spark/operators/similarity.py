@@ -201,31 +201,82 @@ def embedding_neardup_pairs(
         b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        # Banded-join discipline for the degenerate-bucket case (the
+        # simhash r8 lesson, taken further). With few planes per band
+        # the bucket join degenerates — 1-bit buckets split n vectors
+        # into two ~n/2 halves, so the raw join emits O(bands * n^2/2)
+        # rows each carrying BOTH double vectors; the old shape
+        # (dropDuplicates first, cosine after) measured 74 GB of sort
+        # spill at 20k vectors. Three output-identical changes:
+        # * each pair is kept ONLY at its FIRST agreeing band (the
+        #   signatures ride the join rows, so "no earlier band agrees"
+        #   is an in-stage predicate) — every unordered pair survives
+        #   exactly once and the pair-dedup exchange disappears
+        #   entirely, along with the bands-fold redundancy in cosine
+        #   work;
+        # * per-vector norms are hoisted out of the pair loop (same
+        #   IEEE expression shape: dot / (norm_a * norm_b));
+        # * the threshold filter runs per join row inside the codegen
+        #   stage, so non-candidates never reach any exchange.
         sig = _hyperplane_signs(F.col("v"), dim, n_planes)
         per_band = n_planes // bands
-        banded = base.withColumn("sig", sig).select(
+        mask = (1 << per_band) - 1
+        banded = base.withColumn("sig", sig).withColumn(
+            "nrm", _norm(F.col("v"))
+        ).select(
             "id",
             "v",
+            "sig",
+            "nrm",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(bi).alias("band"),
                             F.shiftright("sig", bi * per_band)
-                            .bitwiseAND(F.lit((1 << per_band) - 1))
+                            .bitwiseAND(F.lit(mask))
                             .alias("bucket"),
                         )
                         for bi in range(bands)
                     ]
                 )
             ).alias("bb"),
-        ).select("id", "v", "bb.band", "bb.bucket")
-        a = banded.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
-        b = banded.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
+        ).select("id", "v", "sig", "nrm", "bb.band", "bb.bucket")
+        a = banded.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("sig").alias("sig_a"), F.col("nrm").alias("na"),
+            "band", "bucket",
+        )
+        b = banded.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("sig").alias("sig_b"), F.col("nrm").alias("nb"),
+            "band", "bucket",
+        )
+
+        def band_eq(bi: int):
+            return F.shiftright(F.col("sig_a"), bi * per_band).bitwiseAND(
+                F.lit(mask)
+            ) == F.shiftright(F.col("sig_b"), bi * per_band).bitwiseAND(
+                F.lit(mask)
+            )
+
+        first_agree = F.when(band_eq(0), F.lit(0))
+        for bi in range(1, bands):
+            first_agree = first_agree.when(band_eq(bi), F.lit(bi))
         pairs = (
             a.join(b, ["band", "bucket"])
             .where(F.col("id_a") < F.col("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
+            .where(F.col("band") == first_agree)
+            .withColumn(
+                "cos_sim",
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", "cos_sim")
+        )
+        return pairs.select(
+            "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
         )
     return (
         pairs.withColumn("cos_sim", cosine_expr(F.col("va"), F.col("vb")))

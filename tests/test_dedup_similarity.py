@@ -376,6 +376,34 @@ def test_embedding_neardup_exact(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_neardup_banded_matches_exact(spark):
+    """The banded branch (r8: pairs kept only at their FIRST agreeing
+    band, cosine + threshold filtered in-stage, no pair dedup) must
+    emit each qualifying pair exactly once. At saturated banding
+    (per-band width 1, miss probability 2^-n_planes on near-identical
+    vectors) its output equals the exact self-join; at modest banding
+    it must be a subset."""
+    rng = np.random.RandomState(17)
+    vecs = rng.standard_normal((60, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    # planted near-dups: tiny perturbations of vectors 0..9
+    for i in range(10):
+        rows.append((100 + i, [float(x + 0.001 * ((i + j) % 5 - 2))
+                               for j, x in enumerate(vecs[i])]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = sorted(map(tuple, SIM.embedding_neardup_pairs(
+        df, threshold=0.98, dim=16, exact=True).collect()))
+    banded = sorted(map(tuple, SIM.embedding_neardup_pairs(
+        df, threshold=0.98, dim=16, n_planes=12, bands=12,
+        exact=False).collect()))
+    assert banded == exact and len(exact) >= 10
+    modest = sorted(map(tuple, SIM.embedding_neardup_pairs(
+        df, threshold=0.98, dim=16, n_planes=12, bands=3,
+        exact=False).collect()))
+    assert set(modest) <= set(exact)
+    assert len(modest) == len(set(modest))  # no pair emitted twice
+
+
 def test_fingerprint_vs_python(spark, docs):
     got = {r["id"]: r["fingerprint"] for r in
            TQ.fingerprint(docs, "doc_id", "text").collect()}
