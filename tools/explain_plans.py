@@ -25,14 +25,14 @@ QUERIES = [
     ("top_articles_citations", "two semi-joined grouped counts; TakeOrderedAndProject top-k"),
     ("top_entities", "broadcast dim join; partial+final count; distributed top-k"),
     ("search_topk", "predicate pushdown into the parquet scan; top-k"),
-    ("minhash_lsh_dedup", "JVM-side signatures; banded bucket equi-join; no Python"),
+    ("minhash_lsh_dedup", "JVM-side signatures; banded bucket equi-join; broadcast-arrays candidate verification (size(array_intersect) per pair, shingle stream never re-exploded); no Python"),
     ("embedding_topk_cosine", "broadcast query side; codegen'd cosine; window top-k"),
     ("events_windowed_agg", "single hash agg over time buckets"),
     ("label_abundance_two_groups", "ONE scan of the mention set: membership tags via broadcast left joins, single grouped agg with conditional counts"),
     ("citation_rows", "metadata prepped once, joined twice (article/reference side); single boundary window for the ordinal"),
     ("node_properties_search", "properties map built from one meta join; map projection; filter + top-k"),
     ("embedding_neardup", "LSH banded self-join (no cross join); codegen'd cosine verify"),
-    ("ngram_jaccard_dedup", "cost-based plan selection: plain shingle equi-join at this scale (ppjoin prefix pruning auto-enables past the candidate-volume threshold); codegen shingling, broadcast size joins"),
+    ("ngram_jaccard_dedup", "cost-based plan selection: broadcast-CSR MapInArrow pair counting at this scale (shuffle equi-join past the broadcast ceiling, ppjoin prefix pruning past the candidate-volume threshold); codegen shingling, broadcast size joins, exact Jaccard filter in Catalyst"),
     ("motif_two_hop", "pattern terms compiled to chained equi-joins (Cypher MATCH analogue)"),
     ("gopher_quality", "codegen'd splits + one (id, bigram) grouped count; no Python"),
     ("kg_pagerank", "inv_norm pre-joined onto edges: ONE join + grouped sum per iteration"),
@@ -49,7 +49,7 @@ QUERIES = [
     ("temperature_resample", "domain-mix rates compiled to ONE codegen'd when/otherwise hash filter over the scan — no shuffle; the grouped count that derived the rates is a separate tiny job"),
     ("exact_substring_dedup", "codegen arrays_zip window build + dual-seed xxhash64 fingerprints; both shuffles key on the fingerprint (AQE skew-split covers boilerplate keys); per-doc gaps-and-islands window bounded by doc length"),
     ("substring_cut", "flag stage shared with exact_substring_dedup; canonical pick = one row_number window over the fingerprint; cut applied as a per-doc HOF filter against that doc's own collected ranges — no corpus-wide state"),
-    ("repetition_signals", "per n one codegen window explode + grouped count keyed (id, gram) — id in the key spreads boilerplate grams; per-doc stats join back on id"),
+    ("repetition_signals", "ONE cached tokenize; nine per-n window explodes union into a single (id, n, gram) stream (id in the key spreads boilerplate grams); one repartition-then-complete grouped count + one per-id conditional aggregation replace nine independent subtrees"),
     ("bfs_distances", "frontier expansion: per hop ONE frontier-edge equi-join, then dedup + left-anti membership probe against the settled set (first discovery = shortest hop, no min-merge needed); work tracks the expanding boundary"),
     ("warc_roundtrip", "one Arrow pass per WARC blob (binaryFile granularity); no per-record Python round trips; md5/length computed JVM-side on the parsed payloads"),
     ("text_chunking", "zero-shuffle: one codegen projection + posexplode of a closed-form per-doc chunk grid"),
@@ -106,11 +106,20 @@ def _plan_only_overrides():
             materialize=False,
         )
 
+    def repetition(spark, sf_dir):
+        from bertseyeview_spark.operators.textquality import (
+            repetition_signals,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return repetition_signals(docs, "doc_id", "text", materialize=False)
+
     return {
         "ngram_jaccard_dedup": ngram,
         "minhash_lsh_dedup": minhash,
         "exact_substring_dedup": substr_spans,
         "substring_cut": substr_cut,
+        "repetition_signals": repetition,
     }
 
 
