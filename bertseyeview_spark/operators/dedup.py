@@ -985,19 +985,35 @@ def simhash_candidates_from_sigs(
     # measured at sf1.0) and the old shape shuffled ALL of them through
     # dropDuplicates before the one-cycle bit_count filter cut ~all.
     # bit_count runs inside the join's codegen stage, so non-candidate
-    # rows now die in-stage and the dedup exchange carries only pairs
-    # within the budget (measured 660s -> ~35s at sf1.0). hamming is a
-    # pure function of the two signatures, so filtering per join row
-    # instead of per deduped pair selects exactly the same pair set.
+    # rows now die in-stage (measured 660s -> ~35s at sf1.0). hamming
+    # is a pure function of the two signatures, so filtering per join
+    # row instead of per deduped pair selects exactly the same pair
+    # set. Second r8 pass: the pair dedup exchange is gone entirely —
+    # both signatures ride the join rows, so each pair is kept ONLY at
+    # its FIRST agreeing band (an in-stage predicate over the same
+    # band slices the buckets were built from); every within-budget
+    # pair survives exactly once, the bit_count redundancy across
+    # agreeing bands disappears with it, and the operator emits with
+    # NO exchange at all after the bucket join.
+    def band_eq(b: int):
+        shift, width = bounds[b]
+        m = F.lit((1 << width) - 1)
+        return F.shiftright(F.col("sig_a"), shift).bitwiseAND(
+            m
+        ) == F.shiftright(F.col("sig_b"), shift).bitwiseAND(m)
+
+    first_agree = F.when(band_eq(0), F.lit(0))
+    for b in range(1, bands):
+        first_agree = first_agree.when(band_eq(b), F.lit(b))
     return (
         l.join(r, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
+        .where(F.col("band") == first_agree)
         .withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
